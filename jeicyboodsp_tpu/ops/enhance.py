@@ -1,0 +1,207 @@
+"""Wiener / spectral-subtraction enhancement chain as a TPU-parallel JAX op.
+
+Reference: ``WienerFilter_final.cpp`` / ``SpectralSubtraction_final.cpp``
+(see :mod:`jeicyboodsp_tpu.oracle.enhance` for the full semantics).
+
+TPU-first design -- unlike the reference's strictly serial block loop, every
+heavy stage here is batched over *all* blocks at once:
+
+1. VAD is a pure function of each block (the reference's VAD keep-buffer
+   update is dead code), so flags are computed with one vectorized pass.
+2. Both the noise estimator and the filter transform the same frame
+   ``w * [x[t-1], x[t]]`` (the estimator's keep buffer always equals the
+   previous block), so ONE batched 1024-pt FFT over (T, 1024) feeds both.
+3. The only sequential state -- the noise running average + 10-frame latch --
+   is a tiny affine recursion on a 1024-vector, evaluated either as a
+   ``lax.scan`` (cheap) or as an O(log T) ``associative_scan`` whose affine
+   composition is exact, enabling time-sharding across chips.
+4. Overlap-add reduces to ``y[t][:512] + y[t-1][512:]`` (1-frame halo), so
+   reconstruction is also one batched op; across shards the halo travels by
+   ``ppermute``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jeicyboodsp_tpu.utils.cnum import REF_PI, c_short_jnp
+
+BLOCK_LEN = 512
+FFT_SIZE = 1024
+THRESHOLD_OF_ENERGY = 700.0
+THRESHOLD_OF_ZCR = 200.0
+NOISE_FRAMES = 10
+
+
+def hamming_ref(n: int, dtype=jnp.float64):
+    i = jnp.arange(n, dtype=dtype)
+    return 0.54 - 0.46 * jnp.cos(2.0 * REF_PI * i / (n - 1))
+
+
+def vad_flags(blocks, dtype=jnp.float64):
+    """Vectorized VAD over (T, 512) int16 blocks -> (T,) bool (True=speech).
+
+    Semantics of WienerFilter_final.cpp:261-296 including the in-place int16
+    window truncation and the windowed[i] x raw[i+1] ZCR pairing.
+    """
+    w = hamming_ref(FFT_SIZE, dtype)[BLOCK_LEN:]
+    x = blocks.astype(dtype)
+    s = c_short_jnp(x * w).astype(dtype)  # truncated windowed samples
+    energy = jnp.sum(s * s, axis=-1) / FFT_SIZE
+    nxt = jnp.concatenate(  # raw next sample; last pairs with OOB -> 0
+        [blocks[:, 1:].astype(dtype), jnp.zeros((blocks.shape[0], 1), dtype)], axis=-1
+    )
+    zcr = jnp.sum((s * nxt) < 0, axis=-1)
+    return (energy > THRESHOLD_OF_ENERGY) | (zcr < THRESHOLD_OF_ZCR)
+
+
+def _noise_scan(speech, mags):
+    """Sequential noise-estimate state over T blocks.
+
+    carry: (cnt, avg (1024,), latched (1024,)); reproduces
+    WienerFilter_final.cpp:97-108 + 120-159.
+    """
+    dtype = mags.dtype
+
+    def step(carry, inp):
+        cnt, avg, latched = carry
+        sp, m = inp
+        cnt = jnp.where(sp, 0, cnt + 1)
+        run = (~sp) & (cnt >= 2)
+        avg2 = jnp.where(run, jnp.where(cnt >= 3, (avg + m) / 2.0, avg + m), avg)
+        latched2 = jnp.where(run & (cnt == NOISE_FRAMES), avg2, latched)
+        return (cnt, avg2, latched2), latched2
+
+    init = (jnp.zeros((), jnp.int32), jnp.zeros(FFT_SIZE, dtype), jnp.zeros(FFT_SIZE, dtype))
+    _, latched_per_t = jax.lax.scan(step, init, (speech, mags))
+    return latched_per_t
+
+
+def _noise_assoc_scan(speech, mags):
+    """Associative-scan version of :func:`_noise_scan` (O(log T) depth).
+
+    Per block the update is affine in the running average A:
+        A' = a*A + b*m ,  N' = latch ? A' : N
+    Composition of (a, b_vec, latch?, a_at_latch, b_at_latch) is closed, so
+    the whole state sequence is a parallel prefix -- this is what makes the
+    chain time-shardable across chips without serializing on the carry.
+
+    Element: (a, b, s, ah, bh):
+      A_out = a * A_in + b
+      N_out = s ? (ah * A_in + bh) : N_in
+    """
+    dtype = mags.dtype
+    T = speech.shape[0]
+
+    # per-block run-length of consecutive noise blocks: segmented prefix sum
+    noise = (~speech).astype(jnp.int32)
+
+    def runlen_combine(l, r):
+        # (count, all_noise_flag)
+        cl, fl = l
+        cr, fr = r
+        return jnp.where(fr, cl + cr, cr), fl & fr
+
+    cnt, _ = jax.lax.associative_scan(runlen_combine, (noise, noise.astype(bool)))
+
+    run = (cnt >= 2) & noise.astype(bool)
+    a = jnp.where(run, jnp.where(cnt >= 3, 0.5, 1.0), 1.0).astype(dtype)
+    b = jnp.where(run[:, None], jnp.where(cnt[:, None] >= 3, 0.5, 1.0) * mags, 0.0).astype(dtype)
+    s = run & (cnt == NOISE_FRAMES)
+
+    ah = jnp.where(s, a, 0.0)
+    bh = jnp.where(s[:, None], b, 0.0)
+
+    def combine(l, r):
+        al, bl, sl, ahl, bhl = l
+        ar, br, sr, ahr, bhr = r
+        a_ = ar * al
+        b_ = ar[:, None] * bl + br
+        s_ = sl | sr
+        # last latch wins: if r latches, its (ah, bh) composed with l's A-map
+        ah_ = jnp.where(sr, ahr * al, ahl)
+        bh_ = jnp.where(sr[:, None], ahr[:, None] * bl + bhr, bhl)
+        return a_, b_, s_, ah_, bh_
+
+    a_, b_, s_, ah_, bh_ = jax.lax.associative_scan(combine, (a, b, s, ah, bh))
+    # A_in = 0, N_in = 0 at t=0
+    latched_per_t = jnp.where(s_[:, None], bh_, jnp.zeros((T, FFT_SIZE), dtype))
+    return latched_per_t
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mode", "dtype", "use_assoc_scan", "emit_all")
+)
+def enhance_blocks(
+    blocks,
+    mode: str = "wiener",
+    dtype=jnp.float64,
+    use_assoc_scan: bool = False,
+    emit_all: bool = False,
+):
+    """Run the full chain over (T, 512) int16 blocks.
+
+    Returns (out, write_mask): out is (T, 512) int16; blocks with
+    write_mask False are not part of the reference's output stream
+    (warm-up frames t<2).  With ``emit_all`` the warm-up rows are zeros.
+    """
+    T = blocks.shape[0]
+    fdtype = dtype
+    w = hamming_ref(FFT_SIZE, fdtype)
+
+    prev = jnp.concatenate([jnp.zeros((1, BLOCK_LEN), blocks.dtype), blocks[:-1]], axis=0)
+    frames = jnp.concatenate([prev, blocks], axis=1).astype(fdtype) * w
+
+    ctype = jnp.complex128 if fdtype == jnp.float64 else jnp.complex64
+    X = jnp.fft.fft(frames.astype(ctype))
+    mags = jnp.abs(X)
+
+    speech = vad_flags(blocks, fdtype)
+    noise_fn = _noise_assoc_scan if use_assoc_scan else _noise_scan
+    ns = noise_fn(speech, mags)
+
+    phase = jnp.arctan2(X.imag, X.real)
+    if mode == "wiener":
+        P = X.real ** 2 + X.imag ** 2
+        v = ns ** 2 / P  # 0/0 -> nan, k/0 -> inf, as the C code does
+        v = jnp.where(v >= 1.0, 1.0, v)  # NaN stays NaN (matches C)
+        amp = jnp.abs(jnp.sqrt(P)) * (1.0 - v)
+    elif mode == "specsub":
+        amp = mags - ns
+    else:
+        raise ValueError(mode)
+
+    Y = (amp * jnp.cos(phase) + 1j * amp * jnp.sin(phase)).astype(ctype)
+    y = jnp.fft.ifft(Y).real
+
+    # overlap-add: out[t] = y[t][:512] + y[t-1][512:]; y[t=0] does not exist
+    # (first filter call returns before transforming, :174-179)
+    head = y[:, :BLOCK_LEN]
+    tail_prev = jnp.concatenate([jnp.zeros((1, BLOCK_LEN), fdtype), y[:-1, BLOCK_LEN:]], axis=0)
+    t_idx = jnp.arange(T)
+    valid = t_idx >= 1  # filter produced a frame
+    ola = jnp.where(valid[:, None], head + jnp.where((t_idx >= 2)[:, None], tail_prev, 0.0), 0.0)
+    out = c_short_jnp(ola)
+    write_mask = t_idx >= 2
+    if not emit_all:
+        out = jnp.where(write_mask[:, None], out, 0)
+    return out, write_mask
+
+
+def run_stream(x, mode: str = "wiener", dtype=jnp.float64, use_assoc_scan: bool = False):
+    """Host convenience: full signal in, reference-equivalent byte stream out."""
+    x = np.asarray(x, dtype=np.int16)
+    T = len(x) // BLOCK_LEN
+    rem = len(x) - T * BLOCK_LEN
+    blocks = x[: T * BLOCK_LEN].reshape(T, BLOCK_LEN)
+    if rem:
+        last = np.concatenate([x[T * BLOCK_LEN :], blocks[-1][rem:] if T else np.zeros(BLOCK_LEN - rem, np.int16)])
+        blocks = np.concatenate([blocks, last[None]], axis=0)
+    out, mask = enhance_blocks(jnp.asarray(blocks), mode=mode, dtype=dtype, use_assoc_scan=use_assoc_scan)
+    out = np.asarray(out)
+    mask = np.asarray(mask)
+    return out[mask].reshape(-1)

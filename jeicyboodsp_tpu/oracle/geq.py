@@ -151,15 +151,16 @@ def process_block(state: GEQState, x: np.ndarray, b: np.ndarray, a: np.ndarray) 
         out_buf[:2] = state.keep_out[k]
         b0, b1, b2 = b[k]
         _, a1, a2 = a[k]
+        # FIR part is feedback-free: vectorize it, keep only the IIR loop scalar
+        fir = b0 * in_buf[2 : n + 2] + b1 * in_buf[1 : n + 1] + b2 * in_buf[0:n]
+        ob = out_buf  # local alias (hot loop)
         for j in range(n):
-            acc = (
-                b2 * in_buf[j]
-                + b1 * in_buf[j + 1]
-                + b0 * in_buf[j + 2]
-                - a2 * out_buf[j]
-                - a1 * out_buf[j + 1]
-            )
-            out_buf[j + 2] = c_short_scalar(acc)  # 7Band_GEQ.cpp:284
+            acc = fir[j] - a2 * ob[j] - a1 * ob[j + 1]
+            # 7Band_GEQ.cpp:284 -- double->short truncation (values here are
+            # always in int32 range, so the plain C path applies)
+            t = int(acc)
+            t &= 0xFFFF
+            ob[j + 2] = t - 0x10000 if t >= 0x8000 else t
         state.keep_in[k] = in_buf[-2:].astype(np.int16)
         state.keep_out[k] = out_buf[-2:].astype(np.int16)
         cur = out_buf[2:].astype(np.int16)  # requantized inter-band signal, :300

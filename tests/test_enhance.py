@@ -1,0 +1,48 @@
+"""Enhancement chain: JAX op vs bit-faithful oracle; assoc-scan == scan."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from jeicyboodsp_tpu.oracle import enhance as oenh
+from jeicyboodsp_tpu.ops import enhance as jenh
+
+
+def _signal(rng, seconds=1.5, fs=16000):
+    n = int(seconds * fs) + 137
+    noise = rng.normal(0, 20, n)
+    t = np.arange(n) / fs
+    speech = 5000 * np.sin(2 * np.pi * 313 * t) * (((t > 0.6) & (t < 1.0)) | (t > 1.2))
+    return np.clip(noise + speech, -32768, 32767).astype(np.int16)
+
+
+def test_wiener_exact_f64(rng):
+    x = _signal(rng)
+    np.testing.assert_array_equal(oenh.run(x, "wiener"), jenh.run_stream(x, "wiener"))
+
+
+def test_specsub_exact_f64(rng):
+    x = _signal(rng)
+    np.testing.assert_array_equal(oenh.run(x, "specsub"), jenh.run_stream(x, "specsub"))
+
+
+def test_assoc_scan_matches_scan(rng):
+    x = _signal(rng)
+    a = jenh.run_stream(x, "wiener", use_assoc_scan=False)
+    b = jenh.run_stream(x, "wiener", use_assoc_scan=True)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_f32_snr(rng, snr):
+    x = _signal(rng)
+    ref = oenh.run(x, "wiener")
+    got = jenh.run_stream(x, "wiener", dtype=jnp.float32)
+    assert snr(ref, got) >= 60.0, snr(ref, got)
+
+
+def test_vad_flags_match_oracle(rng):
+    x = _signal(rng)
+    T = len(x) // 512
+    blocks = x[: T * 512].reshape(T, 512)
+    want = np.array([oenh.vad(b) for b in blocks])
+    got = np.asarray(jenh.vad_flags(jnp.asarray(blocks)))
+    np.testing.assert_array_equal(want, got)
