@@ -59,13 +59,13 @@ def geq_apply(x, b, a, state, dtype=jnp.float32):
         new_yh = []
         u2, u1, u0 = xh[0], xh[1], xn  # u[n-2], u[n-1], u[n]
         for k in range(TOTAL_BANDS):
-            acc = (
-                b[k, 0] * u0.astype(dtype)
-                + b[k, 1] * u1.astype(dtype)
-                + b[k, 2] * u2.astype(dtype)
-                - a[k, 1] * yh[k, 1].astype(dtype)
-                - a[k, 2] * yh[k, 0].astype(dtype)
-            )
+            # accumulate in the C loop's exact order (7Band_GEQ.cpp:279-283):
+            # the int16 truncation feedback makes rounding order observable
+            acc = b[k, 2] * u2.astype(dtype)
+            acc = acc - a[k, 2] * yh[k, 0].astype(dtype)
+            acc = acc + b[k, 1] * u1.astype(dtype)
+            acc = acc - a[k, 1] * yh[k, 1].astype(dtype)
+            acc = acc + b[k, 0] * u0.astype(dtype)
             y = c_short_jnp(acc).astype(jnp.int32)
             new_yh.append(jnp.stack([yh[k, 1], y]))
             u2, u1, u0 = yh[k, 0], yh[k, 1], y  # next band's input history

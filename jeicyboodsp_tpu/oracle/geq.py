@@ -151,16 +151,26 @@ def process_block(state: GEQState, x: np.ndarray, b: np.ndarray, a: np.ndarray) 
         out_buf[:2] = state.keep_out[k]
         b0, b1, b2 = b[k]
         _, a1, a2 = a[k]
-        # FIR part is feedback-free: vectorize it, keep only the IIR loop scalar
-        fir = b0 * in_buf[2 : n + 2] + b1 * in_buf[1 : n + 1] + b2 * in_buf[0:n]
-        ob = out_buf  # local alias (hot loop)
+        # The C loop (7Band_GEQ.cpp:279-286) interleaves b- and a-terms:
+        #   acc = b2*x[j] - a2*y[j] + b1*x[j+1] - a1*y[j+1] + b0*x[j+2]
+        # evaluated left-to-right; the accumulation ORDER matters because the
+        # result is truncated to int16 and fed back -- a different order can
+        # flip a truncation boundary.  Reproduce it exactly.
+        xb = [float(v) for v in in_buf]
+        ob = [int(v) for v in out_buf[:2]] + [0] * n  # python ints (hot loop)
+        b0f, b1f, b2f, a1f, a2f = float(b0), float(b1), float(b2), float(a1), float(a2)
         for j in range(n):
-            acc = fir[j] - a2 * ob[j] - a1 * ob[j + 1]
+            acc = b2f * xb[j]
+            acc -= a2f * ob[j]
+            acc += b1f * xb[j + 1]
+            acc -= a1f * ob[j + 1]
+            acc += b0f * xb[j + 2]
             # 7Band_GEQ.cpp:284 -- double->short truncation (values here are
             # always in int32 range, so the plain C path applies)
             t = int(acc)
             t &= 0xFFFF
             ob[j + 2] = t - 0x10000 if t >= 0x8000 else t
+        out_buf[:] = ob
         state.keep_in[k] = in_buf[-2:].astype(np.int16)
         state.keep_out[k] = out_buf[-2:].astype(np.int16)
         cur = out_buf[2:].astype(np.int16)  # requantized inter-band signal, :300
