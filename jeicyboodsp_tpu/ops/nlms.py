@@ -1,0 +1,183 @@
+"""NLMS / BNLMS adaptive filters as JAX ops.
+
+Reference: ``NormalLMS.cpp`` / ``BNLMS.cpp`` (oracle:
+:mod:`jeicyboodsp_tpu.oracle.nlms`).
+
+TPU mapping:
+
+- Per-sample NLMS (``nlms_apply``) is inherently sequential (the coefficient
+  vector updates every sample), so it is a ``lax.scan`` over samples with a
+  256-tap carry; batch across independent streams with ``vmap`` for
+  throughput.  Inner dot products ride the VPU.
+
+- Block NLMS (``bnlms_apply``) is the MXU-shaped variant: per block the
+  filtering pass is a (1024, 128) Toeplitz-window matmul against the frozen
+  coefficients, and the gradient accumulation is the transposed matmul of the
+  same window matrix against the weighted errors -- two MXU calls per block,
+  sequential only in the block-to-block coefficient carry.  The double-talk
+  gate's cross-correlation is one FFT-sized batched correlation.
+
+Floating-point accumulation order differs from the C loops (XLA reduces dot
+products in its own order), so op-vs-oracle equality is an SNR>=60dB
+contract rather than bit equality; the oracle is the bit-exact anchor.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jeicyboodsp_tpu.oracle.nlms import (
+    BLOCK_LEN,
+    BNLMS_EPS,
+    BNLMS_KEEP,
+    BNLMS_MU,
+    BNLMS_TAPS,
+    NLMS_EPS,
+    NLMS_KEEP,
+    NLMS_MU,
+    NLMS_TAPS,
+)
+from jeicyboodsp_tpu.utils.cnum import c_short_jnp
+
+
+def nlms_init_state(dtype=jnp.float64):
+    return {
+        "hist": jnp.zeros((NLMS_KEEP,), jnp.int32),
+        "coeff": jnp.zeros((NLMS_TAPS,), dtype),
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("dtype",))
+def nlms_apply(x, ref, state, dtype=jnp.float64):
+    """Per-sample NLMS over aligned int16 signals x (far end) / ref (near end).
+
+    Returns (est, err, new_state); est/err int16 of the same length.
+    """
+    mu = jnp.asarray(NLMS_MU, dtype)
+    eps = jnp.asarray(NLMS_EPS, dtype)
+
+    def step(carry, inp):
+        hist, c = carry["hist"], carry["coeff"]
+        xi, ri = inp
+        w = jnp.concatenate([hist, xi[None]]).astype(dtype)  # u[i..i+255]
+        # coeff applied reversed against the window (NormalLMS.cpp:113)
+        y_acc = jnp.dot(c[::-1], w)
+        y = c_short_jnp(y_acc).astype(jnp.int32)
+        e = (ri - y).astype(dtype)
+        norm = jnp.dot(w, w)
+        c = c + (2.0 * mu) * e / (norm + eps) * w
+        new_hist = jnp.concatenate([hist[1:], xi[None]])
+        err = c_short_jnp((ri - y).astype(dtype))
+        return {"hist": new_hist, "coeff": c}, (y.astype(jnp.int16), err)
+
+    new_state, (est, err) = jax.lax.scan(
+        step, state, (x.astype(jnp.int32), ref.astype(jnp.int32))
+    )
+    return est, err, new_state
+
+
+def bnlms_init_state(dtype=jnp.float64):
+    return {
+        "keep_in": jnp.zeros((BNLMS_KEEP,), jnp.int32),
+        "keep_ref": jnp.zeros((BNLMS_KEEP,), jnp.int32),
+        "coeff": jnp.zeros((BNLMS_TAPS,), dtype),
+    }
+
+
+def _toeplitz_windows(u, taps):
+    """(N + taps - 1,) -> (N, taps) sliding windows u[i..i+taps-1]."""
+    n = u.shape[0] - taps + 1
+    idx = jnp.arange(n)[:, None] + jnp.arange(taps)[None, :]
+    return u[idx]
+
+
+def _double_talk(u, r, dtype):
+    """BNLMS.cpp:164-186 with OOB reads defined as zero.
+
+    corr[k] = sum_i u[i] * r[i+k] / (2048 - k), k in [0, 1024); returns True
+    for double talk (max corr <= 0).
+    """
+    n = 2 * BLOCK_LEN
+    up = jnp.zeros((n,), dtype).at[: u.shape[0]].set(u.astype(dtype))
+    rp = jnp.zeros((2 * n,), dtype).at[: r.shape[0]].set(r.astype(dtype))
+    # cross-correlation via FFT: corr[k] = sum_i up[i] rp[i+k]
+    m = 2 * n
+    U = jnp.fft.rfft(up, m)
+    R = jnp.fft.rfft(rp[:m], m)
+    corr = jnp.fft.irfft(jnp.conj(U) * R, m)[:BLOCK_LEN]
+    corr = corr / (n - jnp.arange(BLOCK_LEN, dtype=dtype))
+    return jnp.max(corr) <= 0.0
+
+
+@functools.partial(jax.jit, static_argnames=("dtype",))
+def bnlms_apply_block(x, ref, state, dtype=jnp.float64):
+    """One 1024-sample block of BNLMS (BlockLMSFilter, BNLMS.cpp:103-162)."""
+    c = state["coeff"]
+    u = jnp.concatenate([state["keep_in"], x.astype(jnp.int32)])
+    r = jnp.concatenate([state["keep_ref"], ref.astype(jnp.int32)])
+    W = _toeplitz_windows(u.astype(dtype), BNLMS_TAPS)  # (1024, 128)
+    y_acc = W @ c[::-1]  # MXU matmul
+    y = c_short_jnp(y_acc).astype(jnp.int32)
+    e_int = ref.astype(jnp.int32) - y
+    err = c_short_jnp(e_int.astype(dtype))
+
+    norm = jnp.sum(W * W, axis=1)  # per-sample window energy
+    g = (2.0 * BNLMS_MU) * e_int.astype(dtype) / (norm + BNLMS_EPS)
+    grad = W.T @ g  # (128,) transposed MXU matmul
+    no_dt = ~_double_talk(u, r, dtype)
+    c = jnp.where(no_dt, c + grad / BLOCK_LEN, c)
+
+    new_state = {
+        "keep_in": x.astype(jnp.int32)[BLOCK_LEN - BNLMS_KEEP :],
+        "keep_ref": ref.astype(jnp.int32)[BLOCK_LEN - BNLMS_KEEP :],
+        "coeff": c,
+    }
+    return y.astype(jnp.int16), err, new_state
+
+
+@functools.partial(jax.jit, static_argnames=("dtype",))
+def bnlms_apply(x_blocks, ref_blocks, state, dtype=jnp.float64):
+    """Scan BNLMS over (T, 1024) blocks; two matmuls per step."""
+
+    def step(st, inp):
+        xb, rb = inp
+        est, err, st = bnlms_apply_block(xb, rb, st, dtype=dtype)
+        return st, (est, err)
+
+    state, (est, err) = jax.lax.scan(step, state, (x_blocks, ref_blocks))
+    return est, err, state
+
+
+def _blockify(x, block):
+    x = np.asarray(x, np.int16)
+    T = len(x) // block
+    rem = len(x) - T * block
+    blocks = x[: T * block].reshape(T, block)
+    if rem:
+        pad_src = blocks[-1][rem:] if T else np.zeros(block - rem, np.int16)
+        blocks = np.concatenate([blocks, np.concatenate([x[T * block :], pad_src])[None]])
+    return blocks
+
+
+def run_nlms_stream(x, ref, dtype=jnp.float64):
+    """Host convenience matching oracle.run_nlms output framing."""
+    n = min(len(x), len(ref))
+    xb = _blockify(x[:n], BLOCK_LEN)
+    rb = _blockify(ref[:n], BLOCK_LEN)
+    est, err, _ = nlms_apply(
+        jnp.asarray(xb.reshape(-1)), jnp.asarray(rb.reshape(-1)), nlms_init_state(dtype), dtype=dtype
+    )
+    # first block not written (NormalLMS.cpp:132-135)
+    return np.asarray(est).reshape(xb.shape)[1:].reshape(-1), np.asarray(err).reshape(xb.shape)[1:].reshape(-1)
+
+
+def run_bnlms_stream(x, ref, dtype=jnp.float64):
+    n = min(len(x), len(ref))
+    xb = _blockify(x[:n], BLOCK_LEN)
+    rb = _blockify(ref[:n], BLOCK_LEN)
+    est, err, _ = bnlms_apply(jnp.asarray(xb), jnp.asarray(rb), bnlms_init_state(dtype), dtype=dtype)
+    return np.asarray(est)[1:].reshape(-1), np.asarray(err)[1:].reshape(-1)
