@@ -1,0 +1,40 @@
+"""Fast convolution: JAX op vs oracle (f64 exact; rfft/f32 >= 60 dB)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from jeicyboodsp_tpu.oracle import fastconv as ofc
+from jeicyboodsp_tpu.ops import fastconv as jfc
+
+
+def _signal(rng, n=1024 * 12 + 77):
+    t = np.arange(n) / 16000
+    x = 4000 * np.sin(2 * np.pi * 440 * t) + rng.normal(0, 1000, n)
+    return np.clip(x, -32768, 32767).astype(np.int16)
+
+
+def test_f64_tight(rng, snr):
+    """f64 path: identical up to FFT-backend last-ulp truncation flips
+    (jnp.fft vs np.fft round differently; the int16 truncation exposes it on
+    a handful of samples).  Contract: |diff| <= 1, <0.1% flipped, SNR huge."""
+    x = _signal(rng)
+    a, b = ofc.run(x), jfc.run_stream(x, dtype=jnp.float64)
+    d = a.astype(int) - b.astype(int)
+    assert np.abs(d).max() <= 1
+    assert (d != 0).mean() < 1e-3
+    assert snr(a, b) >= 80.0
+
+
+def test_rfft_f32_snr(rng, snr):
+    x = _signal(rng)
+    ref = ofc.run(x)
+    got = jfc.run_stream(x, dtype=jnp.float32, real_fft=True)
+    assert snr(ref, got) >= 60.0, snr(ref, got)
+
+
+def test_warmup_discards_first_seven_blocks(rng):
+    """Blocks 0..6 never reach the convolution (uninitialized-queue quirk)."""
+    x = _signal(rng)
+    x2 = x.copy()
+    x2[: 7 * 1024] = 1234  # arbitrarily different warm-up content
+    np.testing.assert_array_equal(ofc.run(x), ofc.run(x2))
