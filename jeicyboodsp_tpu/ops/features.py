@@ -1,0 +1,220 @@
+"""Batched feature extractors: MFCC, LPC, pitch (3 methods).
+
+References: ``MFCCFeatureExtraction_auto_version1.cpp``, ``LPCEstimation.cpp``,
+``PitchEstimation_method{1,2,3}.cpp`` (oracles: ``oracle.mfcc``,
+``oracle.lpc``, ``oracle.pitch``).
+
+All three extractors have *no* cross-block feedback -- their only state is a
+keep buffer equal to the previous block -- so the TPU mapping is pure
+batching: frame the signal once, then every frame flows through windowing /
+FFT / filterbank / DCT / solves in one vmapped pass.  The mel filterbank and
+DCT are matrix products (MXU); the Toeplitz solves batch over frames; AMDF /
+autocorrelation lags vectorize over a (T, lag, time) tensor or go through
+the FFT (Wiener-Khinchin).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jeicyboodsp_tpu.oracle.mfcc import (
+    CHANNEL,
+    HALF_SAMPLING_RATE,
+    KEEP_LEN,
+    LIFTER_LEN,
+    MFCC_LEN,
+    PRE_EMPHASIS,
+    WINDOW_LEN,
+    mel_filterbank_init,
+)
+from jeicyboodsp_tpu.oracle.lpc import LPC_LEN
+from jeicyboodsp_tpu.utils.cnum import REF_PI
+
+
+def hamming(n, dtype=jnp.float64):
+    i = jnp.arange(n, dtype=dtype)
+    return 0.54 - 0.46 * jnp.cos(2.0 * REF_PI * i / (n - 1))
+
+
+# ---------------------------------------------------------------------------
+# MFCC
+# ---------------------------------------------------------------------------
+
+
+def mel_matrix(dtype=np.float64):
+    """(512, 38) sparse-triangular mel weights as a dense matmul operand.
+
+    Row i contributes fb[i] to channel bins[i]-1 and (1-fb[i]) to channel
+    bins[i] (oracle.mfcc.mel_apply); dense (512, 38) keeps it one MXU call.
+    """
+    fb, bins = mel_filterbank_init()
+    M = np.zeros((KEEP_LEN, CHANNEL), dtype=dtype)
+    for i in range(KEEP_LEN):
+        k = bins[i]
+        if k == 0:
+            M[i, 0] += 1 - fb[i]
+        else:
+            M[i, k - 1] += fb[i]
+            if k != CHANNEL:
+                M[i, k] += 1 - fb[i]
+    return M
+
+
+def dct_lifter_matrix(dtype=np.float64):
+    """(38, 12) combined DCT-II + liftering matrix."""
+    i = np.arange(1, MFCC_LEN + 1)[None, :]
+    k = np.arange(1, CHANNEL + 1)[:, None]
+    basis = np.sqrt(2.0 / CHANNEL) * np.cos(REF_PI * i * (k - 0.5) / CHANNEL)
+    lift = 1 + 0.5 * LIFTER_LEN * np.sin(REF_PI * np.arange(1, MFCC_LEN + 1) / LIFTER_LEN)
+    return (basis * lift[None, :]).astype(dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("dtype",))
+def mfcc_frames(frames, mel_m, dct_m, dtype=jnp.float64):
+    """(F, 1024) int16 analysis frames -> (F, 12) MFCC features.
+
+    Each frame is [x[i-1] history ... current] as framed by the caller; the
+    pre-emphasis + window + FFT + mel + DCT pipeline matches the oracle.
+    """
+    f = frames.astype(dtype)
+    pre = jnp.concatenate(
+        [jnp.zeros((f.shape[0], 1), dtype), f[:, 1:] - PRE_EMPHASIS * f[:, :-1]], axis=1
+    )
+    w = hamming(WINDOW_LEN, dtype)
+    ctype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
+    X = jnp.fft.fft((pre * w).astype(ctype))
+    mag = jnp.sqrt(X.real ** 2 + X.imag ** 2)[:, :KEEP_LEN]
+    mel = mag @ mel_m  # MXU
+    mel_log = jnp.log(mel)
+    return mel_log @ dct_m  # MXU
+
+
+def mfcc_run(x, dtype=jnp.float64, skip_first: bool = True):
+    """Whole-signal MFCC matching oracle.mfcc.run framing."""
+    from jeicyboodsp_tpu.oracle.mfcc import BLOCK_LEN
+
+    x = np.asarray(x, np.int16)
+    T = len(x) // BLOCK_LEN
+    rem = len(x) - T * BLOCK_LEN
+    blocks = x[: T * BLOCK_LEN].reshape(T, BLOCK_LEN)
+    if rem:
+        pad_src = blocks[-1][rem:] if T else np.zeros(BLOCK_LEN - rem, np.int16)
+        blocks = np.concatenate([blocks, np.concatenate([x[T * BLOCK_LEN :], pad_src])[None]])
+        T += 1
+    flat = np.concatenate([np.zeros(KEEP_LEN, np.int16), blocks.reshape(-1)])
+    # two frames per block at hop 512 over [keep, block]
+    F = 2 * T
+    starts = np.arange(F) * KEEP_LEN
+    frames = flat[starts[:, None] + np.arange(WINDOW_LEN)[None, :]]
+    mel_m = jnp.asarray(mel_matrix(), dtype)
+    dct_m = jnp.asarray(dct_lifter_matrix(), dtype)
+    feats = np.asarray(mfcc_frames(jnp.asarray(frames), mel_m, dct_m, dtype=dtype))
+    return feats[1:] if skip_first else feats
+
+
+# ---------------------------------------------------------------------------
+# LPC
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("dtype",))
+def lpc_frames(frames, dtype=jnp.float64):
+    """(F, 512) int16 analysis windows -> (F, 12) LPC coefficients."""
+    n = frames.shape[1]
+    w = hamming(n, dtype)
+    win = frames.astype(dtype) * w
+    lags = jnp.arange(LPC_LEN + 1)
+
+    def corr(lag):
+        prod = win[:, : n - 0] * jnp.roll(win, -lag, axis=1)
+        mask = jnp.arange(n) < (n - lag)
+        return jnp.sum(jnp.where(mask[None, :], prod, 0.0), axis=1) / (n - lag).astype(dtype)
+
+    r = jax.vmap(corr, out_axes=1)(lags)  # (F, 13)
+    idx = jnp.abs(jnp.arange(LPC_LEN)[:, None] - jnp.arange(LPC_LEN)[None, :])
+    T = r[:, idx]  # (F, 12, 12) Toeplitz
+    v = -r[:, 1:]
+    return jnp.linalg.solve(T, v[..., None])[..., 0]
+
+
+def lpc_run(x, dtype=jnp.float64):
+    from jeicyboodsp_tpu.oracle.lpc import BLOCK_LEN
+
+    x = np.asarray(x, np.int16)
+    T = len(x) // BLOCK_LEN
+    rem = len(x) - T * BLOCK_LEN
+    blocks = x[: T * BLOCK_LEN].reshape(T, BLOCK_LEN)
+    if rem:
+        pad_src = blocks[-1][rem:] if T else np.zeros(BLOCK_LEN - rem, np.int16)
+        blocks = np.concatenate([blocks, np.concatenate([x[T * BLOCK_LEN :], pad_src])[None]])
+        T += 1
+    flat = np.concatenate([np.zeros(BLOCK_LEN, np.int16), blocks.reshape(-1)])
+    starts = np.arange(T) * BLOCK_LEN
+    frames = flat[starts[:, None] + np.arange(2 * BLOCK_LEN)[None, :]]
+    feats = np.asarray(lpc_frames(jnp.asarray(frames), dtype=dtype))
+    return feats[1:]  # first block not written
+
+
+# ---------------------------------------------------------------------------
+# Pitch
+# ---------------------------------------------------------------------------
+
+_PITCH_BLOCK = 512
+_PITCH_PROC = 1024
+_FS = 16000.0
+
+
+def _pick(ac, pick_max: bool):
+    """Reference search: descending scan from 511 to 101 with >= (or <=),
+    i.e. the smallest lag in [101, 511] attaining the extremum."""
+    sl = ac[:, 101:512]
+    ext = jnp.max(sl, axis=1) if pick_max else jnp.min(sl, axis=1)
+    arg = 101 + jnp.argmax(sl == ext[:, None], axis=1)
+    return arg, ext
+
+
+@functools.partial(jax.jit, static_argnames=("method", "dtype"))
+def pitch_frames(frames, method: int = 1, dtype=jnp.float64):
+    """(T, 1024) int16 frames [prev, cur] -> (lag (T,), value (T,), f0 (T,))."""
+    u = frames.astype(dtype)
+    if method == 1:
+        ctype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
+        X = jnp.fft.fft(u.astype(ctype))
+        P = X.real ** 2 + X.imag ** 2
+        ac = jnp.fft.ifft(P.astype(ctype)).real[:, :_PITCH_BLOCK]
+        arg, val = _pick(ac, True)
+    else:
+        lags = jnp.arange(_PITCH_BLOCK)
+        n = _PITCH_PROC
+
+        def corr(lag):
+            shifted = jnp.roll(u, -lag, axis=1)
+            mask = (jnp.arange(n) < (n - lag))[None, :]
+            if method == 2:
+                prod = jnp.abs(u - shifted)
+            else:
+                prod = u * shifted
+            return jnp.sum(jnp.where(mask, prod, 0.0), axis=1) / (n - lag).astype(dtype)
+
+        ac = jax.vmap(corr, out_axes=1)(lags)
+        arg, val = _pick(ac, method == 3)
+    return arg, val, _FS / arg.astype(dtype)
+
+
+def pitch_run(x, method: int = 1, dtype=jnp.float64):
+    x = np.asarray(x, np.int16)
+    T = len(x) // _PITCH_BLOCK
+    rem = len(x) - T * _PITCH_BLOCK
+    blocks = x[: T * _PITCH_BLOCK].reshape(T, _PITCH_BLOCK)
+    if rem:
+        pad_src = blocks[-1][rem:] if T else np.zeros(_PITCH_BLOCK - rem, np.int16)
+        blocks = np.concatenate([blocks, np.concatenate([x[T * _PITCH_BLOCK :], pad_src])[None]])
+        T += 1
+    prev = np.concatenate([np.zeros((1, _PITCH_BLOCK), np.int16), blocks[:-1]])
+    frames = np.concatenate([prev, blocks], axis=1)
+    arg, val, f0 = pitch_frames(jnp.asarray(frames), method=method, dtype=dtype)
+    return np.asarray(arg), np.asarray(val), np.asarray(f0)
