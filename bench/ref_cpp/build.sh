@@ -27,3 +27,5 @@ build PitchEstimation_method1.cpp pitch1
 build PitchEstimation_method2.cpp pitch2
 build PitchEstimation_method3.cpp pitch3
 build AnalysisAdditiveWhiteGaussianNoise.cpp awgn
+build BeamForming_MVDR_ver1.cpp mvdr
+build LPCEstimation.cpp lpc

@@ -1,0 +1,142 @@
+"""2-mic MVDR beamformer as a batched TPU op.
+
+Reference: ``BeamForming_MVDR_ver1.cpp`` (oracle:
+:mod:`jeicyboodsp_tpu.oracle.mvdr`).
+
+TPU-first design: every per-block stage is a pure function of (x[t-1], x[t])
+-- the VAD is stateless, the spatial-correlation pair is always the previous
+and current block, and the analysis frame's keep buffer is the previous
+block's first 511 samples -- so the only sequential element, the cumulative
+2x2 correlation matrix, is an inclusive prefix SUM (trivially parallel /
+shardable with psum over a time mesh).  The chain is:
+
+  batched VAD -> per-block R contributions (batched unwindowed FFTs)
+  -> masked cumsum of 2x2 matrices -> per-(block, bin) closed-form 2x2
+  MVDR weights -> batched frame FFT, weight application (reproducing the
+  reference's overwrite-sequencing quirk), batched IFFT -> int16.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jeicyboodsp_tpu.oracle.mvdr import (
+    BLOCK_LEN,
+    DISTANCE_OF_MIC,
+    FFT_LEN,
+    KEEP_LEN,
+    SAMPLING_RATE,
+    SPEED_OF_SOUND,
+    THRESHOLD_OF_ENERGY,
+)
+from jeicyboodsp_tpu.utils.cnum import REF_PI, c_short_jnp
+
+
+def vad_energy_flags(blocks, dtype=jnp.float64):
+    """(T,512) -> (T,) bool speech flags (energy-only MVDR VAD)."""
+    i = jnp.arange(FFT_LEN, dtype=dtype)
+    w = 0.54 - 0.46 * jnp.cos(2.0 * REF_PI * i / (FFT_LEN - 1))
+    wseg = w[KEEP_LEN : KEEP_LEN + BLOCK_LEN]
+    s = c_short_jnp(blocks.astype(dtype) * wseg).astype(dtype)
+    energy = jnp.sum(s * s, axis=-1) / FFT_LEN
+    return energy > THRESHOLD_OF_ENERGY
+
+
+@functools.partial(jax.jit, static_argnames=("dtype",))
+def mvdr_blocks(blocks_l, blocks_r, d_time=0.0, dtype=jnp.float64):
+    """(T, 512) int16 per channel -> ((T, 512) int16, write_mask (T,))."""
+    T = blocks_l.shape[0]
+    fdtype = dtype
+    ctype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
+
+    speech = vad_energy_flags(blocks_l, fdtype)
+    noise = ~speech
+
+    # consecutive-noise run length (same segmented scan as the enhancer)
+    def runlen(l, r):
+        cl, fl = l
+        cr, fr = r
+        return jnp.where(fr, cl + cr, cr), fl & fr
+
+    cnt, _ = jax.lax.associative_scan(runlen, (noise.astype(jnp.int32), noise))
+    accumulate = noise & (cnt >= 2)
+
+    # per-block R contribution from unwindowed FFT of [x[t-1], x[t]]
+    prev_l = jnp.concatenate([jnp.zeros((1, BLOCK_LEN), blocks_l.dtype), blocks_l[:-1]])
+    prev_r = jnp.concatenate([jnp.zeros((1, BLOCK_LEN), blocks_r.dtype), blocks_r[:-1]])
+    pairs_l = jnp.concatenate([prev_l, blocks_l], axis=1).astype(fdtype)
+    pairs_r = jnp.concatenate([prev_r, blocks_r], axis=1).astype(fdtype)
+    Lf = jnp.fft.fft(pairs_l.astype(ctype))
+    Rf = jnp.fft.fft(pairs_r.astype(ctype))
+    r00 = jnp.sum(Lf.real ** 2 + Lf.imag ** 2, axis=1) / FFT_LEN
+    r01 = jnp.sum(-Lf.real * Rf.imag + Lf.imag * Rf.real, axis=1) / FFT_LEN
+    r10 = jnp.sum(-Rf.real * Lf.imag + Rf.imag * Lf.real, axis=1) / FFT_LEN
+    r11 = jnp.sum(Rf.real ** 2 + Rf.imag ** 2, axis=1) / FFT_LEN
+    contrib = jnp.stack([r00, r01, r10, r11], axis=1) * accumulate[:, None].astype(fdtype)
+    R = jnp.cumsum(contrib, axis=0)  # (T, 4) inclusive prefix
+
+    # closed-form 2x2 inverse per block (singular -> inf/nan, as unchecked LU)
+    a, b, c_, d = R[:, 0], R[:, 1], R[:, 2], R[:, 3]
+    det = a * d - b * c_
+    inv = jnp.stack([d, -b, -c_, a], axis=1) / det[:, None]  # (T, 4)
+
+    # steering vector per bin; weights w = R^-1 c / (c^H R^-1 c)
+    i = jnp.arange(FFT_LEN, dtype=fdtype)
+    ang = 2.0 * REF_PI * i * (SAMPLING_RATE / FFT_LEN) * d_time
+    c0 = jnp.ones((FFT_LEN,), ctype)
+    c1 = (jnp.cos(ang) + 1j * jnp.sin(ang)).astype(ctype)
+    w0 = inv[:, 0, None] * c0[None, :] + inv[:, 1, None] * c1[None, :]  # (T, 1024)
+    w1 = inv[:, 2, None] * c0[None, :] + inv[:, 3, None] * c1[None, :]
+    denom = jnp.conj(c0)[None, :] * w0 + jnp.conj(c1)[None, :] * w1
+    w0 = w0 / denom
+    w1 = w1 / denom
+
+    # analysis frames: [prev block's first 511 samples, current, 0]
+    keep_l = jnp.concatenate([jnp.zeros((1, KEEP_LEN), blocks_l.dtype), blocks_l[:-1, :KEEP_LEN]])
+    keep_r = jnp.concatenate([jnp.zeros((1, KEEP_LEN), blocks_r.dtype), blocks_r[:-1, :KEEP_LEN]])
+    zero_tail = jnp.zeros((T, 1), fdtype)
+    frame_l = jnp.concatenate([keep_l.astype(fdtype), blocks_l.astype(fdtype), zero_tail], axis=1)
+    frame_r = jnp.concatenate([keep_r.astype(fdtype), blocks_r.astype(fdtype), zero_tail], axis=1)
+    L = jnp.fft.fft(frame_l.astype(ctype))
+    Rch = jnp.fft.fft(frame_r.astype(ctype))
+
+    wl_r, wl_i = w0.real, -w0.imag  # conjugated weights (:175-178)
+    wr_r, wr_i = w1.real, -w1.imag
+    # overwrite-sequencing quirk (:180-183)
+    L0 = L.real * wl_r - L.imag * wl_i
+    L1 = L0 * wl_i + L.imag * wl_r
+    R0 = Rch.real * wr_r - Rch.imag * wr_i
+    R1 = R0 * wr_i + Rch.imag * wr_r
+    merged = ((L0 + R0) + 1j * (L1 + R1)).astype(ctype)
+    y = jnp.fft.ifft(merged).real
+    out = c_short_jnp(y[:, KEEP_LEN : KEEP_LEN + BLOCK_LEN])
+    write_mask = jnp.arange(T) >= 1
+    return out, write_mask
+
+
+def steering_delay(angle_rad: float = 0.0) -> float:
+    """dTime = (d/c) * sin(theta) (BeamForming_MVDR_ver1.cpp:60)."""
+    return (DISTANCE_OF_MIC / SPEED_OF_SOUND) * float(np.sin(angle_rad))
+
+
+def run_stream(xl, xr, d_time=0.0, dtype=jnp.float64):
+    xl = np.asarray(xl, np.int16)
+    xr = np.asarray(xr, np.int16)
+    n = min(len(xl), len(xr))
+
+    def blockify(x):
+        T = n // BLOCK_LEN
+        rem = n - T * BLOCK_LEN
+        b = x[: T * BLOCK_LEN].reshape(T, BLOCK_LEN)
+        if rem:
+            pad_src = b[-1][rem:] if T else np.zeros(BLOCK_LEN - rem, np.int16)
+            b = np.concatenate([b, np.concatenate([x[T * BLOCK_LEN : n], pad_src])[None]])
+        return b
+
+    bl, br = blockify(xl), blockify(xr)
+    out, mask = mvdr_blocks(jnp.asarray(bl), jnp.asarray(br), d_time, dtype=dtype)
+    return np.asarray(out)[np.asarray(mask)].reshape(-1)

@@ -1,0 +1,44 @@
+"""MVDR: batched JAX op vs oracle."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from jeicyboodsp_tpu.oracle import mvdr as omv
+from jeicyboodsp_tpu.ops import mvdr as jmv
+
+
+def _stereo(rng, n=512 * 14 + 100):
+    t = np.arange(n) / 16000
+    speech = 6000 * np.sin(2 * np.pi * 400 * t) * (((t > 0.12) & (t < 0.2)) | (t > 0.3))
+    xl = np.clip(speech + rng.normal(0, 15, n), -32768, 32767).astype(np.int16)
+    xr = np.clip(0.8 * speech + rng.normal(0, 15, n), -32768, 32767).astype(np.int16)
+    return xl, xr
+
+
+def test_f64_exact(rng):
+    xl, xr = _stereo(rng)
+    want = omv.run(xl, xr)
+    got = jmv.run_stream(xl, xr)
+    assert want.shape == got.shape
+    d = want.astype(int) - got.astype(int)
+    # same-process FFT backends (np vs jnp) may flip truncation on <0.2%
+    assert np.abs(d).max() <= 1 and (d != 0).mean() < 2e-3, (
+        np.abs(d).max(),
+        (d != 0).mean(),
+    )
+
+
+def test_f32_snr(rng, snr):
+    xl, xr = _stereo(rng)
+    want = omv.run(xl, xr)
+    got = jmv.run_stream(xl, xr, dtype=jnp.float32)
+    assert snr(want, got) >= 60.0, snr(want, got)
+
+
+def test_all_speech_input_is_zero_output(rng):
+    """Without noise frames R stays singular -> NaN weights -> zeros."""
+    n = 512 * 6
+    t = np.arange(n) / 16000
+    loud = np.clip(20000 * np.sin(2 * np.pi * 500 * t), -32768, 32767).astype(np.int16)
+    out = jmv.run_stream(loud, loud)
+    assert np.all(out == 0)
