@@ -1,0 +1,109 @@
+"""HMM / Viterbi decoding, batched for TPU.
+
+Reference: ``Viterbi_version1.cpp`` (oracle: :mod:`jeicyboodsp_tpu.oracle.viterbi`).
+
+Emission densities for all (time, state) pairs are computed in one batched
+pass (matmul projections, MXU); only the 6-state DP recursion is a
+``lax.scan`` over time.  Two modes:
+
+- ``compat=True`` reproduces the reference's log-of-log recursion
+  (``:196``) and its NaN propagation, the re-found-argmax "backtrace", the
+  unwritten path[0], and the score-at-t=1 return value.
+- ``compat=False`` is the corrected max-plus Viterbi with a true backtrace.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from jeicyboodsp_tpu.oracle.gmm import NUM_OF_MIXTURE, PCA_LEN_TEST
+from jeicyboodsp_tpu.oracle.viterbi import NUM_OF_STATE
+from jeicyboodsp_tpu.utils.cnum import REF_PI
+
+
+@jax.jit
+def emissions(frames, alpha, mean, cov, eigvec):
+    """(T,12) x per-state PCA-4 GMMs -> (T, 6) mixture densities.
+
+    alpha: (6,4); mean: (6,4,12); cov: (6,4,12,12); eigvec: (6,4,12,4).
+    """
+
+    def per_state(a, m, c, v):
+        def per_mix(ak, mk, ck, vk):
+            xp = frames @ vk[:, :PCA_LEN_TEST]  # (T, 4)
+            var = jnp.diagonal(ck)[:PCA_LEN_TEST]
+            terms = (1.0 / jnp.sqrt(2.0 * REF_PI)) * (1.0 / jnp.sqrt(var)) * jnp.exp(
+                -0.5 * (xp - mk[:PCA_LEN_TEST]) ** 2 / var
+            )
+            return ak * jnp.prod(terms, axis=1)
+
+        return sum(per_mix(a[k], m[k], c[k], v[k]) for k in range(NUM_OF_MIXTURE))
+
+    return jax.vmap(per_state, in_axes=(0, 0, 0, 0), out_axes=1)(alpha, mean, cov, eigvec)
+
+
+@functools.partial(jax.jit, static_argnames=("compat",))
+def viterbi(frames, alpha, mean, cov, eigvec, trans, compat: bool = True):
+    """Decode one utterance. Returns (path (T-1,), score).
+
+    compat mode mirrors the reference exactly (see module docstring);
+    non-compat is the corrected algorithm (path (T,), true backtrace,
+    final-time score).
+    """
+    T = frames.shape[0]
+    emis = emissions(frames, alpha, mean, cov, eigvec)  # (T, 6)
+    log_emis = jnp.log(emis)
+    log_trans = jnp.log(trans)  # (u, m)
+
+    p0 = log_emis[0] + jnp.log(1.0 / NUM_OF_STATE)
+
+    if compat:
+
+        def step(p_prev, le_t):
+            # cand[u, m] = log(p_prev[u]) + log(trans[u, m]) + le_t[m]
+            cand = jnp.log(p_prev)[:, None] + log_trans + le_t[None, :]
+            # C scan over u with `<`: start at u=0, replace only if strictly
+            # greater; NaN comparisons keep the incumbent.
+            p_new = cand[0]
+            for u in range(1, NUM_OF_STATE):
+                p_new = jnp.where(p_new < cand[u], cand[u], p_new)
+            return p_new, p_new
+
+        _, P = jax.lax.scan(step, p0, log_emis[1:])
+        P = jnp.concatenate([p0[None], P], axis=0)  # (T, 6)
+
+        # re-found argmax per time with first-wins-on-NaN semantics
+        def c_argmax(row):
+            best, arg = row[0], jnp.zeros((), jnp.int32)
+            for m in range(1, NUM_OF_STATE):
+                take = row[m] > best
+                best = jnp.where(take, row[m], best)
+                arg = jnp.where(take, m, arg)
+            return arg, best
+
+        args, bests = jax.vmap(c_argmax)(P)
+        path = jnp.zeros((T - 1,), jnp.int32).at[1:].set(args[1 : T - 1])
+        score = bests[1]  # last loop iteration is t=1 (:245)
+        return path, score
+
+    # corrected Viterbi
+    def step(carry, le_t):
+        p_prev = carry
+        cand = p_prev[:, None] + log_trans + le_t[None, :]
+        p_new = jnp.max(cand, axis=0)
+        back = jnp.argmax(cand, axis=0)
+        return p_new, (p_new, back)
+
+    p_last, (P, back) = jax.lax.scan(step, p0, log_emis[1:])
+    last = jnp.argmax(p_last)
+
+    def bt(state, b_t):
+        prev = b_t[state]
+        return prev, state
+
+    _, path_rev = jax.lax.scan(bt, last, back, reverse=True)
+    path = jnp.concatenate([path_rev, last[None]])
+    return path, jnp.max(p_last)
