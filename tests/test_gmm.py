@@ -22,7 +22,8 @@ def _class_data(rng, n=120, centers=None, spread=2.0):
     return np.array(pts)
 
 
-def test_train_matches_oracle(rng):
+def test_train_matches_oracle():
+    rng = np.random.default_rng(7)
     frames = _class_data(rng)
     want = ogmm.train_class([frames])
     alpha, mean, cov, ev = mgmm.train_class([frames])
@@ -54,8 +55,9 @@ def test_multi_file_em_continues():
     np.testing.assert_allclose(np.asarray(mean)[:, :4], want.mean[:, :4], rtol=1e-4, atol=1e-4)
 
 
-def test_classifier_separates_classes(rng):
+def test_classifier_separates_classes():
     """Train 3 classes on separable data; every class's own test data wins."""
+    rng = np.random.default_rng(11)
     centers = [rng.normal(0, 6, (4, 12)) for _ in range(3)]
     models = []
     for c in centers:
@@ -68,7 +70,8 @@ def test_classifier_separates_classes(rng):
         assert int(np.argmax(scores)) == ci, scores
 
 
-def test_score_matches_oracle(rng):
+def test_score_matches_oracle():
+    rng = np.random.default_rng(13)
     frames = _class_data(rng)
     params = mgmm.train_class([frames])
     a, m, cv, e8 = (np.asarray(x) for x in params)
@@ -78,7 +81,8 @@ def test_score_matches_oracle(rng):
     np.testing.assert_allclose(got, want, rtol=1e-9)
 
 
-def test_struct_layout_roundtrip(rng, tmp_path):
+def test_struct_layout_roundtrip(tmp_path):
+    rng = np.random.default_rng(17)
     frames = _class_data(rng)
     params = [tuple(np.asarray(x) for x in mgmm.train_class([frames])) for _ in range(2)]
     path = str(tmp_path / "model.bin")
@@ -96,8 +100,9 @@ def test_struct_layout_roundtrip(rng, tmp_path):
     assert not np.array_equal(mis[1][0], params[1][0])
 
 
-def test_viterbi_compat_matches_oracle(rng):
+def test_viterbi_compat_matches_oracle():
     # build a 6-state HMM whose states are GMMs trained on distinct clusters
+    rng = np.random.default_rng(19)
     states = []
     for s in range(6):
         c = rng.normal(0, 6, (4, 12))
@@ -130,7 +135,8 @@ def test_viterbi_compat_matches_oracle(rng):
         np.testing.assert_allclose(float(score), want_score, rtol=1e-9)
 
 
-def test_hmm_serialization_roundtrip(rng, tmp_path):
+def test_hmm_serialization_roundtrip(tmp_path):
+    rng = np.random.default_rng(23)
     states = []
     for s in range(6):
         a = rng.uniform(0.1, 1, 4)
