@@ -81,56 +81,85 @@ def _noise_scan(speech, mags):
     return latched_per_t
 
 
+def runlen_combine(l, r):
+    """Segmented-count monoid: (count, all_noise_flag). Identity: (0, True)."""
+    cl, fl = l
+    cr, fr = r
+    return jnp.where(fr, cl + cr, cr), fl & fr
+
+
+def noise_affine_combine(l, r):
+    """Noise-state monoid: A' = a*A + b ; N' = s ? ah*A + bh : N.
+
+    Identity: (1, 0, False, 0, 0).  The LAST latch wins on composition.
+    """
+    al, bl, sl, ahl, bhl = l
+    ar, br, sr, ahr, bhr = r
+    a_ = ar * al
+    b_ = ar[:, None] * bl + br
+    s_ = sl | sr
+    ah_ = jnp.where(sr, ahr * al, ahl)
+    bh_ = jnp.where(sr[:, None], ahr[:, None] * bl + bhr, bhl)
+    return a_, b_, s_, ah_, bh_
+
+
+def noise_affine_elements(speech, cnt, mags):
+    """Per-block monoid elements from VAD flags, run-lengths, magnitudes."""
+    dtype = mags.dtype
+    noise = ~speech
+    run = (cnt >= 2) & noise
+    a = jnp.where(run, jnp.where(cnt >= 3, 0.5, 1.0), 1.0).astype(dtype)
+    b = jnp.where(run[:, None], jnp.where(cnt[:, None] >= 3, 0.5, 1.0) * mags, 0.0).astype(dtype)
+    s = run & (cnt == NOISE_FRAMES)
+    ah = jnp.where(s, a, 0.0)
+    bh = jnp.where(s[:, None], b, 0.0)
+    return a, b, s, ah, bh
+
+
+def latched_from_composed(s_, bh_):
+    """N_t given zero initial state: latched value or zeros."""
+    return jnp.where(s_[:, None], bh_, jnp.zeros_like(bh_))
+
+
 def _noise_assoc_scan(speech, mags):
     """Associative-scan version of :func:`_noise_scan` (O(log T) depth).
 
     Per block the update is affine in the running average A:
         A' = a*A + b*m ,  N' = latch ? A' : N
-    Composition of (a, b_vec, latch?, a_at_latch, b_at_latch) is closed, so
-    the whole state sequence is a parallel prefix -- this is what makes the
-    chain time-shardable across chips without serializing on the carry.
-
-    Element: (a, b, s, ah, bh):
-      A_out = a * A_in + b
-      N_out = s ? (ah * A_in + bh) : N_in
+    Composition is closed (see :func:`noise_affine_combine`), so the whole
+    state sequence is a parallel prefix -- this is what makes the chain
+    time-shardable across chips without serializing on the carry.
     """
-    dtype = mags.dtype
-    T = speech.shape[0]
+    noise = ~speech
+    cnt, _ = jax.lax.associative_scan(runlen_combine, (noise.astype(jnp.int32), noise))
+    elems = noise_affine_elements(speech, cnt, mags)
+    _, _, s_, _, bh_ = jax.lax.associative_scan(noise_affine_combine, elems)
+    return latched_from_composed(s_, bh_)
 
-    # per-block run-length of consecutive noise blocks: segmented prefix sum
-    noise = (~speech).astype(jnp.int32)
 
-    def runlen_combine(l, r):
-        # (count, all_noise_flag)
-        cl, fl = l
-        cr, fr = r
-        return jnp.where(fr, cl + cr, cr), fl & fr
+def frame_transform(frames, dtype):
+    """w * [prev, cur] -> complex spectrum (batched)."""
+    w = hamming_ref(FFT_SIZE, dtype)
+    ctype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
+    return jnp.fft.fft((frames.astype(dtype) * w).astype(ctype))
 
-    cnt, _ = jax.lax.associative_scan(runlen_combine, (noise, noise.astype(bool)))
 
-    run = (cnt >= 2) & noise.astype(bool)
-    a = jnp.where(run, jnp.where(cnt >= 3, 0.5, 1.0), 1.0).astype(dtype)
-    b = jnp.where(run[:, None], jnp.where(cnt[:, None] >= 3, 0.5, 1.0) * mags, 0.0).astype(dtype)
-    s = run & (cnt == NOISE_FRAMES)
-
-    ah = jnp.where(s, a, 0.0)
-    bh = jnp.where(s[:, None], b, 0.0)
-
-    def combine(l, r):
-        al, bl, sl, ahl, bhl = l
-        ar, br, sr, ahr, bhr = r
-        a_ = ar * al
-        b_ = ar[:, None] * bl + br
-        s_ = sl | sr
-        # last latch wins: if r latches, its (ah, bh) composed with l's A-map
-        ah_ = jnp.where(sr, ahr * al, ahl)
-        bh_ = jnp.where(sr[:, None], ahr[:, None] * bl + bhr, bhl)
-        return a_, b_, s_, ah_, bh_
-
-    a_, b_, s_, ah_, bh_ = jax.lax.associative_scan(combine, (a, b, s, ah, bh))
-    # A_in = 0, N_in = 0 at t=0
-    latched_per_t = jnp.where(s_[:, None], bh_, jnp.zeros((T, FFT_SIZE), dtype))
-    return latched_per_t
+def gain_and_resynth(X, ns, mode: str):
+    """Per-bin gain with saved phase -> time-domain frame (batched IFFT)."""
+    mags = jnp.abs(X)
+    phase = jnp.arctan2(X.imag, X.real)
+    if mode == "wiener":
+        P = X.real ** 2 + X.imag ** 2
+        v = ns ** 2 / P  # 0/0 -> nan, k/0 -> inf, as the C code does
+        v = jnp.where(v >= 1.0, 1.0, v)  # NaN stays NaN (matches C)
+        amp = jnp.abs(jnp.sqrt(P)) * (1.0 - v)
+    elif mode == "specsub":
+        amp = mags - ns
+    else:
+        raise ValueError(mode)
+    ctype = X.dtype
+    Y = (amp * jnp.cos(phase) + 1j * amp * jnp.sin(phase)).astype(ctype)
+    return jnp.fft.ifft(Y).real
 
 
 @functools.partial(
@@ -151,32 +180,16 @@ def enhance_blocks(
     """
     T = blocks.shape[0]
     fdtype = dtype
-    w = hamming_ref(FFT_SIZE, fdtype)
 
     prev = jnp.concatenate([jnp.zeros((1, BLOCK_LEN), blocks.dtype), blocks[:-1]], axis=0)
-    frames = jnp.concatenate([prev, blocks], axis=1).astype(fdtype) * w
-
-    ctype = jnp.complex128 if fdtype == jnp.float64 else jnp.complex64
-    X = jnp.fft.fft(frames.astype(ctype))
+    X = frame_transform(jnp.concatenate([prev, blocks], axis=1), fdtype)
     mags = jnp.abs(X)
 
     speech = vad_flags(blocks, fdtype)
     noise_fn = _noise_assoc_scan if use_assoc_scan else _noise_scan
     ns = noise_fn(speech, mags)
 
-    phase = jnp.arctan2(X.imag, X.real)
-    if mode == "wiener":
-        P = X.real ** 2 + X.imag ** 2
-        v = ns ** 2 / P  # 0/0 -> nan, k/0 -> inf, as the C code does
-        v = jnp.where(v >= 1.0, 1.0, v)  # NaN stays NaN (matches C)
-        amp = jnp.abs(jnp.sqrt(P)) * (1.0 - v)
-    elif mode == "specsub":
-        amp = mags - ns
-    else:
-        raise ValueError(mode)
-
-    Y = (amp * jnp.cos(phase) + 1j * amp * jnp.sin(phase)).astype(ctype)
-    y = jnp.fft.ifft(Y).real
+    y = gain_and_resynth(X, ns, mode)
 
     # overlap-add: out[t] = y[t][:512] + y[t-1][512:]; y[t=0] does not exist
     # (first filter call returns before transforming, :174-179)

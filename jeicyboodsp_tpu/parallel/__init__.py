@@ -1,0 +1,1 @@
+from jeicyboodsp_tpu.parallel.mesh import make_mesh  # noqa: F401

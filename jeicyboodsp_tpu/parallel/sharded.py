@@ -1,0 +1,233 @@
+"""Time-sharded versions of the streaming pipelines (shard_map over a Mesh).
+
+Each pipeline's sequential state was reformulated in ``ops`` as bounded
+halos + associative prefixes, so the sharded versions are exact (bit-equal
+to single-device in f64, asserted by tests/test_sharded.py):
+
+- enhancement chain: 2-block x-halo (ppermute) + sharded noise-latch scan
+  (all_gather of tiny per-shard aggregates) + a 1-frame leading recompute
+  for the overlap-add tail;
+- fast convolution: 7-block x-halo, everything else embarrassingly parallel;
+- MVDR: 1-block x-halo + sharded prefix-SUM of the 2x2 covariance.
+
+Data-parallel batching (independent streams) needs no shard_map at all --
+``pjit`` with a NamedSharding on the batch axis partitions the vmapped ops.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from jeicyboodsp_tpu.ops import enhance as E
+from jeicyboodsp_tpu.ops import fastconv as FC
+from jeicyboodsp_tpu.ops import mvdr as MV
+from jeicyboodsp_tpu.parallel.halo import left_halo, sharded_associative_scan
+from jeicyboodsp_tpu.utils.cnum import c_short_jnp
+
+
+def enhance_sharded(blocks, mesh, mode: str = "wiener", dtype=jnp.float64, axis: str = "time"):
+    """(T, 512) int16 (T divisible by mesh axis size) -> (out, write_mask).
+
+    Exact equal to ops.enhance.enhance_blocks.
+    """
+    n_shards = mesh.shape[axis]
+    T = blocks.shape[0]
+    assert T % n_shards == 0, (T, n_shards)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=P(axis, None),
+        out_specs=(P(axis, None), P(axis)),
+    )
+    def run(local):
+        Tl = local.shape[0]
+        idx = jax.lax.axis_index(axis)
+        t0 = idx * Tl
+        gidx = t0 + jnp.arange(Tl)
+
+        halo2 = left_halo(local, 2, axis)  # (2, 512): x[t0-2], x[t0-1]
+        ext = jnp.concatenate([halo2, local], axis=0)  # (Tl+2, 512)
+
+        # frames for local blocks: [x[t-1], x[t]]
+        frames = jnp.concatenate([ext[1:-1], ext[2:]], axis=1)
+        X = E.frame_transform(frames, dtype)
+        mags = jnp.abs(X)
+        speech = E.vad_flags(local, dtype)
+        noise = ~speech
+
+        # global run-length scan
+        (cnt, _), (pc, pf) = sharded_associative_scan(
+            E.runlen_combine,
+            (noise.astype(jnp.int32), noise),
+            axis,
+            (jnp.zeros((), jnp.int32), jnp.ones((), bool)),
+        )
+
+        # global noise-affine scan
+        elems = E.noise_affine_elements(speech, cnt, mags)
+        ident = (
+            jnp.ones((), dtype),
+            jnp.zeros((E.FFT_SIZE,), dtype),
+            jnp.zeros((), bool),
+            jnp.zeros((), dtype),
+            jnp.zeros((E.FFT_SIZE,), dtype),
+        )
+        (a_, b_, s_, ah_, bh_), (pa, pb, ps, pah, pbh) = sharded_associative_scan(
+            E.noise_affine_combine, elems, axis, ident
+        )
+        ns = E.latched_from_composed(s_, bh_)  # (Tl, 1024)
+
+        y = E.gain_and_resynth(X, ns, mode)  # (Tl, 1024)
+
+        # leading frame (global t0-1) for the first local block's OLA tail
+        lead_frame = jnp.concatenate([ext[0], ext[1]])[None, :]
+        X_lead = E.frame_transform(lead_frame, dtype)
+        ns_lead = E.latched_from_composed(ps, pbh)  # shard-prefix state
+        y_lead = E.gain_and_resynth(X_lead, ns_lead, mode)  # (1, 1024)
+
+        head = y[:, : E.BLOCK_LEN]
+        tails = jnp.concatenate([y_lead[:, E.BLOCK_LEN :], y[:-1, E.BLOCK_LEN :]], axis=0)
+        valid = gidx >= 1
+        use_tail = gidx >= 2
+        ola = jnp.where(
+            valid[:, None],
+            head + jnp.where(use_tail[:, None], tails, 0.0),
+            0.0,
+        )
+        out = jnp.where(use_tail[:, None], c_short_jnp(ola), 0)
+        return out, use_tail
+
+    return run(blocks)
+
+
+def fastconv_sharded(blocks, H, mesh, dtype=jnp.float64, axis: str = "time"):
+    """(T, 1024) int16 -> (T, 1024) int16 out + mask (t >= 7).
+
+    Unlike ops.fastconv (which drops warm-up rows), returns full T rows with
+    a validity mask so the sharding stays uniform.
+    """
+    n_shards = mesh.shape[axis]
+    T = blocks.shape[0]
+    assert T % n_shards == 0
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=P(axis, None), out_specs=(P(axis, None), P(axis))
+    )
+    def run(local):
+        Tl = local.shape[0]
+        idx = jax.lax.axis_index(axis)
+        gidx = idx * Tl + jnp.arange(Tl)
+        # zero the warm-up blocks (global t < 7) before they enter any segment
+        local_eff = jnp.where((gidx >= FC.WARMUP_BLOCKS)[:, None], local, 0)
+        halo = left_halo(local_eff, FC.WARMUP_BLOCKS, axis)  # (7, 1024)
+        flat = jnp.concatenate([halo, local_eff], axis=0).reshape(-1).astype(dtype)
+        starts = jnp.arange(Tl) * FC.BLOCK_SIZE
+        segs = flat[starts[:, None] + jnp.arange(FC.FFT_SIZE)[None, :]]
+        ctype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
+        y = jnp.fft.ifft(jnp.fft.fft(segs.astype(ctype)) * H).real
+        out = c_short_jnp(y[:, FC.FILTER_LENGTH - 1 :])
+        mask = gidx >= FC.WARMUP_BLOCKS
+        return jnp.where(mask[:, None], out, 0), mask
+
+    return run(blocks)
+
+
+def mvdr_sharded(blocks_l, blocks_r, mesh, d_time=0.0, dtype=jnp.float64, axis: str = "time"):
+    """Time-sharded MVDR; exact equal to ops.mvdr.mvdr_blocks."""
+    n_shards = mesh.shape[axis]
+    T = blocks_l.shape[0]
+    assert T % n_shards == 0
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None)),
+        out_specs=(P(axis, None), P(axis)),
+    )
+    def run(local_l, local_r):
+        Tl = local_l.shape[0]
+        idx = jax.lax.axis_index(axis)
+        gidx = idx * Tl + jnp.arange(Tl)
+        ctype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
+
+        halo_l = left_halo(local_l, 1, axis)
+        halo_r = left_halo(local_r, 1, axis)
+        prev_l = jnp.concatenate([halo_l, local_l[:-1]], axis=0)
+        prev_r = jnp.concatenate([halo_r, local_r[:-1]], axis=0)
+
+        speech = MV.vad_energy_flags(local_l, dtype)
+        noise = ~speech
+        (cnt, _), _ = sharded_associative_scan(
+            E.runlen_combine,
+            (noise.astype(jnp.int32), noise),
+            axis,
+            (jnp.zeros((), jnp.int32), jnp.ones((), bool)),
+        )
+        accumulate = noise & (cnt >= 2)
+
+        pairs_l = jnp.concatenate([prev_l, local_l], axis=1).astype(dtype)
+        pairs_r = jnp.concatenate([prev_r, local_r], axis=1).astype(dtype)
+        Lf = jnp.fft.fft(pairs_l.astype(ctype))
+        Rf = jnp.fft.fft(pairs_r.astype(ctype))
+        r00 = jnp.sum(Lf.real ** 2 + Lf.imag ** 2, axis=1) / MV.FFT_LEN
+        r01 = jnp.sum(-Lf.real * Rf.imag + Lf.imag * Rf.real, axis=1) / MV.FFT_LEN
+        r10 = jnp.sum(-Rf.real * Lf.imag + Rf.imag * Lf.real, axis=1) / MV.FFT_LEN
+        r11 = jnp.sum(Rf.real ** 2 + Rf.imag ** 2, axis=1) / MV.FFT_LEN
+        contrib = jnp.stack([r00, r01, r10, r11], axis=1) * accumulate[:, None].astype(dtype)
+
+        def addc(l, r):
+            return (l[0] + r[0],)
+
+        (R,), _ = sharded_associative_scan(
+            addc, (contrib,), axis, (jnp.zeros((4,), dtype),)
+        )
+
+        a, b, c_, d = R[:, 0], R[:, 1], R[:, 2], R[:, 3]
+        det = a * d - b * c_
+        inv = jnp.stack([d, -b, -c_, a], axis=1) / det[:, None]
+
+        i = jnp.arange(MV.FFT_LEN, dtype=dtype)
+        from jeicyboodsp_tpu.utils.cnum import REF_PI
+
+        ang = 2.0 * REF_PI * i * (MV.SAMPLING_RATE / MV.FFT_LEN) * d_time
+        c0 = jnp.ones((MV.FFT_LEN,), ctype)
+        c1 = (jnp.cos(ang) + 1j * jnp.sin(ang)).astype(ctype)
+        w0 = inv[:, 0, None] * c0[None, :] + inv[:, 1, None] * c1[None, :]
+        w1 = inv[:, 2, None] * c0[None, :] + inv[:, 3, None] * c1[None, :]
+        denom = jnp.conj(c0)[None, :] * w0 + jnp.conj(c1)[None, :] * w1
+        w0 = w0 / denom
+        w1 = w1 / denom
+
+        zero_tail = jnp.zeros((Tl, 1), dtype)
+        frame_l = jnp.concatenate(
+            [prev_l[:, : MV.KEEP_LEN].astype(dtype), local_l.astype(dtype), zero_tail], axis=1
+        )
+        frame_r = jnp.concatenate(
+            [prev_r[:, : MV.KEEP_LEN].astype(dtype), local_r.astype(dtype), zero_tail], axis=1
+        )
+        L = jnp.fft.fft(frame_l.astype(ctype))
+        Rch = jnp.fft.fft(frame_r.astype(ctype))
+        wl_r, wl_i = w0.real, -w0.imag
+        wr_r, wr_i = w1.real, -w1.imag
+        L0 = L.real * wl_r - L.imag * wl_i
+        L1 = L0 * wl_i + L.imag * wl_r
+        R0 = Rch.real * wr_r - Rch.imag * wr_i
+        R1 = R0 * wr_i + Rch.imag * wr_r
+        merged = ((L0 + R0) + 1j * (L1 + R1)).astype(ctype)
+        y = jnp.fft.ifft(merged).real
+        out = c_short_jnp(y[:, MV.KEEP_LEN : MV.KEEP_LEN + MV.BLOCK_LEN])
+        mask = gidx >= 1
+        return out, mask
+
+    return run(blocks_l, blocks_r)
+
+
+def data_parallel_sharding(mesh, axis: str = "data"):
+    """NamedSharding that splits a leading batch axis across the data axis."""
+    return NamedSharding(mesh, P(axis))
