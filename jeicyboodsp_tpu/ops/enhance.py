@@ -76,7 +76,8 @@ def _noise_scan(speech, mags):
         latched2 = jnp.where(run & (cnt == NOISE_FRAMES), avg2, latched)
         return (cnt, avg2, latched2), latched2
 
-    init = (jnp.zeros((), jnp.int32), jnp.zeros(FFT_SIZE, dtype), jnp.zeros(FFT_SIZE, dtype))
+    nbins = mags.shape[-1]
+    init = (jnp.zeros((), jnp.int32), jnp.zeros(nbins, dtype), jnp.zeros(nbins, dtype))
     _, latched_per_t = jax.lax.scan(step, init, (speech, mags))
     return latched_per_t
 
@@ -137,33 +138,54 @@ def _noise_assoc_scan(speech, mags):
     return latched_from_composed(s_, bh_)
 
 
-def frame_transform(frames, dtype):
-    """w * [prev, cur] -> complex spectrum (batched)."""
+def frame_transform(frames, dtype, real_fft: bool = False):
+    """w * [prev, cur] -> complex spectrum (batched).
+
+    ``real_fft`` computes only the 513 non-redundant bins (the input is
+    real); mathematically identical, half the bandwidth/compute.
+    """
     w = hamming_ref(FFT_SIZE, dtype)
+    windowed = frames.astype(dtype) * w
+    if real_fft:
+        return jnp.fft.rfft(windowed)
     ctype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
-    return jnp.fft.fft((frames.astype(dtype) * w).astype(ctype))
+    return jnp.fft.fft(windowed.astype(ctype))
 
 
-def gain_and_resynth(X, ns, mode: str):
-    """Per-bin gain with saved phase -> time-domain frame (batched IFFT)."""
+def gain_and_resynth(X, ns, mode: str, real_fft: bool = False, resynth: str = "trig"):
+    """Per-bin gain with saved phase -> time-domain frame (batched IFFT).
+
+    ``resynth="trig"`` reproduces the reference's atan2/cos/sin phase
+    save/restore literally; ``"ratio"`` uses the identity
+    amp*e^{i phase} == X * (amp/|X|), removing three transcendentals per
+    bin (identical values up to rounding, including the NaN cases: a zero
+    bin makes the ratio NaN exactly where the reference's gain went NaN).
+    """
     mags = jnp.abs(X)
-    phase = jnp.arctan2(X.imag, X.real)
     if mode == "wiener":
         P = X.real ** 2 + X.imag ** 2
         v = ns ** 2 / P  # 0/0 -> nan, k/0 -> inf, as the C code does
         v = jnp.where(v >= 1.0, 1.0, v)  # NaN stays NaN (matches C)
-        amp = jnp.abs(jnp.sqrt(P)) * (1.0 - v)
+        gain = 1.0 - v  # == amp / |X|
+        amp = jnp.abs(jnp.sqrt(P)) * gain
     elif mode == "specsub":
         amp = mags - ns
+        gain = amp / mags
     else:
         raise ValueError(mode)
-    ctype = X.dtype
-    Y = (amp * jnp.cos(phase) + 1j * amp * jnp.sin(phase)).astype(ctype)
+    if resynth == "ratio":
+        Y = X * gain.astype(X.real.dtype)
+    else:
+        phase = jnp.arctan2(X.imag, X.real)
+        Y = (amp * jnp.cos(phase) + 1j * amp * jnp.sin(phase)).astype(X.dtype)
+    if real_fft:
+        return jnp.fft.irfft(Y, FFT_SIZE)
     return jnp.fft.ifft(Y).real
 
 
 @functools.partial(
-    jax.jit, static_argnames=("mode", "dtype", "use_assoc_scan", "emit_all")
+    jax.jit,
+    static_argnames=("mode", "dtype", "use_assoc_scan", "emit_all", "real_fft", "resynth"),
 )
 def enhance_blocks(
     blocks,
@@ -171,6 +193,8 @@ def enhance_blocks(
     dtype=jnp.float64,
     use_assoc_scan: bool = False,
     emit_all: bool = False,
+    real_fft: bool = False,
+    resynth: str = "trig",
 ):
     """Run the full chain over (T, 512) int16 blocks.
 
@@ -182,14 +206,14 @@ def enhance_blocks(
     fdtype = dtype
 
     prev = jnp.concatenate([jnp.zeros((1, BLOCK_LEN), blocks.dtype), blocks[:-1]], axis=0)
-    X = frame_transform(jnp.concatenate([prev, blocks], axis=1), fdtype)
+    X = frame_transform(jnp.concatenate([prev, blocks], axis=1), fdtype, real_fft=real_fft)
     mags = jnp.abs(X)
 
     speech = vad_flags(blocks, fdtype)
     noise_fn = _noise_assoc_scan if use_assoc_scan else _noise_scan
     ns = noise_fn(speech, mags)
 
-    y = gain_and_resynth(X, ns, mode)
+    y = gain_and_resynth(X, ns, mode, real_fft=real_fft, resynth=resynth)
 
     # overlap-add: out[t] = y[t][:512] + y[t-1][512:]; y[t=0] does not exist
     # (first filter call returns before transforming, :174-179)

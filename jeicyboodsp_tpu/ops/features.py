@@ -93,6 +93,27 @@ def mfcc_frames(frames, mel_m, dct_m, dtype=jnp.float64):
     return mel_log @ dct_m  # MXU
 
 
+@functools.partial(jax.jit, static_argnames=("dtype",))
+def mfcc_blocks(blocks, mel_m, dct_m, dtype=jnp.float32):
+    """Jittable MFCC over (..., T, 1024) int16 blocks -> (..., 2T, 12).
+
+    Builds the two 512-hop frames per block from the in-signal keep buffer
+    (zeros before t=0) entirely on device; shardable over batch/time by the
+    compiler (frame gathers across block boundaries lower to
+    collective-permutes when the time axis is sharded).
+    """
+    *lead, T, B = blocks.shape
+    flat = blocks.reshape(*lead, T * B)
+    flat = jnp.concatenate(
+        [jnp.zeros((*lead, KEEP_LEN), blocks.dtype), flat], axis=-1
+    )
+    starts = jnp.arange(2 * T) * KEEP_LEN
+    frames = flat[..., starts[:, None] + jnp.arange(WINDOW_LEN)[None, :]]
+    shape = frames.shape
+    feats = mfcc_frames(frames.reshape(-1, WINDOW_LEN), mel_m, dct_m, dtype=dtype)
+    return feats.reshape(*shape[:-1], MFCC_LEN)
+
+
 def mfcc_run(x, dtype=jnp.float64, skip_first: bool = True):
     """Whole-signal MFCC matching oracle.mfcc.run framing."""
     from jeicyboodsp_tpu.oracle.mfcc import BLOCK_LEN

@@ -46,3 +46,23 @@ def test_vad_flags_match_oracle(rng):
     want = np.array([oenh.vad(b) for b in blocks])
     got = np.asarray(jenh.vad_flags(jnp.asarray(blocks)))
     np.testing.assert_array_equal(want, got)
+
+
+def test_fast_config_snr(rng, snr):
+    """The benched fast config (assoc scan + rfft + ratio resynthesis) keeps
+    the >= 60 dB compat contract."""
+    x = _signal(rng)
+    ref = oenh.run(x, "wiener")
+    import jax.numpy as jnp
+
+    T = len(x) // 512
+    blocks = jnp.asarray(x[: T * 512].reshape(T, 512))
+    out, mask = jenh.enhance_blocks(
+        blocks, mode="wiener", dtype=jnp.float32, use_assoc_scan=True,
+        real_fft=True, resynth="ratio",
+    )
+    import numpy as np
+
+    got = np.asarray(out)[np.asarray(mask)].reshape(-1)
+    m = min(len(ref), len(got))
+    assert snr(ref[:m], got[:m]) >= 60.0, snr(ref[:m], got[:m])
