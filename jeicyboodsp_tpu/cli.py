@@ -1,0 +1,66 @@
+"""Command-line entry point.
+
+Usage::
+
+    python -m jeicyboodsp_tpu.cli <pipeline> <args...> [--fast] [--cpu]
+
+Pipelines and their positional arguments mirror the reference programs:
+
+    geq IN OUT                  7-band graphic EQ          (7Band_GEQ)
+    fastconv IN OUT             RIR fast convolution       (Fast_Convolution...)
+    wiener IN OUT               Wiener noise suppression   (WienerFilter_final)
+    specsub IN OUT              spectral subtraction       (SpectralSubtraction_final)
+    nlms IN REF EST ERR         per-sample NLMS AEC        (NormalLMS)
+    bnlms IN REF EST ERR        block NLMS AEC             (BNLMS)
+    mvdr LEFT RIGHT OUT         2-mic MVDR beamformer      (BeamForming_MVDR_ver1)
+    fft IN OUT                  radix-2 FFT roundtrip      (FFTAlgorithm_ver2)
+    pitch1|pitch2|pitch3 IN     pitch estimation           (PitchEstimation_*)
+    mfcc LISTFILE               corpus MFCC extraction     (MFCCFeatureExtraction...)
+    awgn IN OUT                 AWGN harness               (AnalysisAdditive...)
+    gmm-train LIST MODEL        GMM training               (GMMAlgorithm_Train...)
+    gmm-test LIST MODEL         GMM classification         (GMMAlgorithm_Test...)
+    viterbi LIST MODEL          HMM/Viterbi decoding       (Viterbi_version1)
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="jeicyboodsp_tpu", description=__doc__)
+    parser.add_argument("pipeline")
+    parser.add_argument("args", nargs="*")
+    parser.add_argument(
+        "--fast",
+        action="store_true",
+        help="f32 speed path (compat quirks preserved, bit-level f64 fidelity relaxed)",
+    )
+    parser.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    ns = parser.parse_args(argv)
+
+    import jax
+
+    if ns.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    if not ns.fast:
+        jax.config.update("jax_enable_x64", True)
+
+    from jeicyboodsp_tpu.pipelines import PIPELINES
+
+    if ns.pipeline not in PIPELINES:
+        print(f"unknown pipeline {ns.pipeline!r}; choices: {sorted(PIPELINES)}")
+        return 2
+
+    kw = {}
+    if ns.fast:
+        import jax.numpy as jnp
+
+        kw["dtype"] = jnp.float32
+    PIPELINES[ns.pipeline](*ns.args, **kw)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

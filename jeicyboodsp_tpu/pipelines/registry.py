@@ -1,0 +1,238 @@
+"""End-to-end pipelines: one per reference program, file-in/file-out.
+
+Each pipeline mirrors its reference program's CLI contract, including
+whether the 44-byte WAV header is skipped on each input (the reference
+programs differ: wiener/specsub read it as samples, NLMS skips only the
+FIRST input, etc.) so that byte-stream compatibility holds end to end.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from jeicyboodsp_tpu.io.wav import read_pcm16, read_wav_ref, write_pcm16
+
+
+def _read(path: str, skip_header: bool) -> np.ndarray:
+    return read_wav_ref(path) if skip_header else read_pcm16(path)
+
+
+def geq(inp: str, out: str, **kw):
+    """7Band_GEQ: header skipped (7Band_GEQ.cpp:116)."""
+    from jeicyboodsp_tpu.ops import geq as G
+
+    x = _read(inp, True)
+    y = G.stream_blocks(x, **kw)
+    write_pcm16(out, y)
+    return y
+
+
+def fastconv(inp: str, out: str, **kw):
+    """3D-audio RIR convolution: header skipped (:79)."""
+    from jeicyboodsp_tpu.ops import fastconv as FC
+
+    x = _read(inp, True)
+    y = FC.run_stream(x, **kw)
+    write_pcm16(out, y)
+    return y
+
+
+def wiener(inp: str, out: str, **kw):
+    """Wiener NR: header NOT skipped (WienerFilter_final.cpp:81 commented)."""
+    from jeicyboodsp_tpu.ops import enhance as E
+
+    x = _read(inp, False)
+    y = E.run_stream(x, "wiener", **kw)
+    write_pcm16(out, y)
+    return y
+
+
+def specsub(inp: str, out: str, **kw):
+    from jeicyboodsp_tpu.ops import enhance as E
+
+    x = _read(inp, False)
+    y = E.run_stream(x, "specsub", **kw)
+    write_pcm16(out, y)
+    return y
+
+
+def nlms(inp: str, ref: str, est_out: str, err_out: str, **kw):
+    """NLMS AEC: input header skipped, reference NOT (NormalLMS.cpp:65-66)."""
+    from jeicyboodsp_tpu.ops import nlms as N
+
+    x = _read(inp, True)
+    r = _read(ref, False)
+    est, err = N.run_nlms_stream(x, r, **kw)
+    write_pcm16(est_out, est)
+    write_pcm16(err_out, err)
+    return est, err
+
+
+def bnlms(inp: str, ref: str, est_out: str, err_out: str, **kw):
+    from jeicyboodsp_tpu.ops import nlms as N
+
+    x = _read(inp, True)
+    r = _read(ref, False)
+    est, err = N.run_bnlms_stream(x, r, **kw)
+    write_pcm16(est_out, est)
+    write_pcm16(err_out, err)
+    return est, err
+
+
+def mvdr(left: str, right: str, out: str, **kw):
+    """MVDR beamformer: both headers skipped (:81-82)."""
+    from jeicyboodsp_tpu.ops import mvdr as M
+
+    xl = _read(left, True)
+    xr = _read(right, True)
+    y = M.run_stream(xl, xr, **kw)
+    write_pcm16(out, y)
+    return y
+
+
+def fft_roundtrip(inp: str, out: str, **kw):
+    from jeicyboodsp_tpu.ops import fft as F
+
+    x = _read(inp, True)
+    y = F.run_stream(x, **kw)
+    write_pcm16(out, y)
+    return y
+
+
+def pitch(inp: str, method: int = 1, **kw):
+    """Print-only in the reference; returns the per-block estimates."""
+    from jeicyboodsp_tpu.ops import features as FE
+
+    x = _read(inp, True)
+    args, vals, f0s = FE.pitch_run(x, method=method, **kw)
+    for a, v, f in zip(args, vals, f0s):
+        print(f"Estimation arg {a} , value {v} pitch {f}")
+    return args, vals, f0s
+
+
+def mfcc(list_file: str, **kw):
+    """Corpus MFCC extraction from an 'input output' list file (headers
+    skipped, :83); first frame of the run skipped (:95-97)."""
+    from jeicyboodsp_tpu.ops import features as FE
+
+    first = True
+    for line in open(list_file):
+        parts = line.split()
+        if len(parts) != 2:
+            continue
+        src, dst = parts
+        x = _read(src, True)
+        feats = FE.mfcc_run(x, skip_first=first, **kw)
+        first = False
+        np.asarray(feats, dtype="<f8").tofile(dst)
+
+
+def awgn(inp: str, out: str, seed: int = 0, **kw):
+    """AWGN harness (the reference is time-seeded; we take an explicit seed)."""
+    import jax
+    import jax.numpy as jnp
+
+    from jeicyboodsp_tpu.ops import awgn as A
+
+    x = _read(inp, True)
+    T = len(x) // A.BLOCK
+    blocks = jnp.asarray(x[: T * A.BLOCK].reshape(T, A.BLOCK))
+    noisy, noise = A.add_awgn(jax.random.PRNGKey(seed), blocks, **kw)
+    write_pcm16(out, np.asarray(noisy).reshape(-1))
+    return np.asarray(noisy)
+
+
+def gmm_train(list_file: str, model_out: str, **kw):
+    """Train 25 classes from a list of per-class list files (each naming
+    .mfc feature files); writes the PCA8 train-layout model file."""
+    from jeicyboodsp_tpu.models import gmm as G
+    from jeicyboodsp_tpu.models import serialization as S
+
+    classes = []
+    for line in open(list_file):
+        class_list = line.strip()
+        if not class_list:
+            continue
+        files = [
+            np.fromfile(p.strip(), dtype="<f8").reshape(-1, 12)
+            for p in open(class_list)
+            if p.strip()
+        ]
+        params = G.train_class(files, **kw)
+        classes.append(tuple(np.asarray(p) for p in params))
+    S.write_train_model(model_out, classes)
+    return classes
+
+
+def gmm_test(list_file: str, model_path: str, emulate_layout_mismatch: bool = True, **kw):
+    """Classify test feature files; by default reads the model with the
+    reference's mismatched PCA4 layout (the chained-system behavior)."""
+    from jeicyboodsp_tpu.models import gmm as G
+    from jeicyboodsp_tpu.models import serialization as S
+
+    class_lists = [l.strip() for l in open(list_file) if l.strip()]
+    n = len(class_lists)
+    if emulate_layout_mismatch:
+        models = S.read_as_test_layout(model_path, n)
+    else:
+        models = [S.train_to_test_params(*p) for p in S.read_train_layout(model_path, n)]
+    results = []
+    for ci, class_list in enumerate(class_lists):
+        for p in open(class_list):
+            if not p.strip():
+                continue
+            frames = np.fromfile(p.strip(), dtype="<f8").reshape(-1, 12)
+            scores = [float(G.score_frames(frames, *m)) for m in models]
+            pred = int(np.argmax(scores))
+            print(f"{ci + 1} -th result {pred + 1}")
+            results.append((ci, pred, scores))
+    return results
+
+
+def viterbi(list_file: str, model_path: str, compat: bool = True, **kw):
+    """Decode utterances with a 6-state HMM model file (Viterbi layout)."""
+    import jax.numpy as jnp
+
+    from jeicyboodsp_tpu.models import hmm as H
+    from jeicyboodsp_tpu.models import serialization as S
+
+    states, trans = S.unpack_hmm(open(model_path, "rb").read())
+    alpha = jnp.asarray(np.stack([s[0] for s in states]))
+    mean = jnp.asarray(np.stack([s[1] for s in states]))
+    cov = jnp.asarray(np.stack([s[2] for s in states]))
+    eig = jnp.asarray(np.stack([s[3] for s in states]))
+    out = []
+    for line in open(list_file):
+        for p in line.split():
+            frames = np.fromfile(p, dtype="<f8").reshape(-1, 12)
+            path, score = H.viterbi(
+                jnp.asarray(frames), alpha, mean, cov, eig, jnp.asarray(trans), compat=compat
+            )
+            print("decoding result !")
+            print(",".join(str(int(s)) for s in np.asarray(path)))
+            out.append((np.asarray(path), float(score)))
+    return out
+
+
+PIPELINES = {
+    "geq": geq,
+    "fastconv": fastconv,
+    "wiener": wiener,
+    "specsub": specsub,
+    "nlms": nlms,
+    "bnlms": bnlms,
+    "mvdr": mvdr,
+    "fft": fft_roundtrip,
+    "pitch1": lambda inp, **kw: pitch(inp, 1, **kw),
+    "pitch2": lambda inp, **kw: pitch(inp, 2, **kw),
+    "pitch3": lambda inp, **kw: pitch(inp, 3, **kw),
+    "mfcc": mfcc,
+    "awgn": awgn,
+    "gmm-train": gmm_train,
+    "gmm-test": gmm_test,
+    "viterbi": viterbi,
+}
+
+
+def run_pipeline(name: str, *args, **kw):
+    return PIPELINES[name](*args, **kw)

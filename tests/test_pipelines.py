@@ -1,0 +1,72 @@
+"""End-to-end pipeline/CLI tests: file-in/file-out vs oracle byte streams."""
+
+import numpy as np
+
+from jeicyboodsp_tpu.io.wav import read_pcm16, write_pcm16, write_wav
+from jeicyboodsp_tpu.pipelines import run_pipeline
+
+
+def test_geq_pipeline(tmp_path, rng):
+    n = 2048
+    x = np.clip(rng.normal(0, 3000, n), -32768, 32767).astype(np.int16)
+    inp, out = str(tmp_path / "in.wav"), str(tmp_path / "out.pcm")
+    write_wav(inp, x, 48000)
+    run_pipeline("geq", inp, out)
+    from jeicyboodsp_tpu.oracle import geq as og
+
+    np.testing.assert_array_equal(read_pcm16(out), og.run(x))
+
+
+def test_wiener_pipeline_header_not_skipped(tmp_path, rng):
+    n = 512 * 8
+    x = np.clip(rng.normal(0, 20, n), -32768, 32767).astype(np.int16)
+    inp, out = str(tmp_path / "in.pcm"), str(tmp_path / "out.pcm")
+    write_pcm16(inp, x)
+    run_pipeline("wiener", inp, out)
+    from jeicyboodsp_tpu.oracle import enhance as oe
+
+    np.testing.assert_array_equal(read_pcm16(out), oe.run(x, "wiener"))
+
+
+def test_mfcc_gmm_chain(tmp_path, rng):
+    """MFCC list processing -> train -> classify, end to end on synthetic
+    two-class audio."""
+    fs = 16000
+    paths = []
+    for ci, f0 in enumerate((200.0, 1800.0)):
+        t = np.arange(1024 * 30) / fs
+        # frequency- and amplitude-modulated tones + noise: feature frames
+        # must VARY or the GMM covariances degenerate to zero (NaN scores,
+        # faithfully reference-like but untestable)
+        f = f0 * (1 + 0.2 * np.sin(2 * np.pi * 1.5 * t))
+        amp = 6000 * (0.6 + 0.4 * np.sin(2 * np.pi * 2.2 * t) ** 2)
+        x = np.clip(
+            amp * np.sin(2 * np.pi * np.cumsum(f) / fs) + rng.normal(0, 500, len(t)),
+            -32768,
+            32767,
+        ).astype(np.int16)
+        wav = str(tmp_path / f"c{ci}.wav")
+        mfc = str(tmp_path / f"c{ci}.mfc")
+        write_wav(wav, x, fs)
+        paths.append((wav, mfc))
+    listfile = str(tmp_path / "mfcc_list.txt")
+    open(listfile, "w").write("\n".join(f"{w} {m}" for w, m in paths))
+    run_pipeline("mfcc", listfile)
+    for _, m in paths:
+        assert np.fromfile(m, dtype="<f8").size % 12 == 0
+
+    # class lists (one feature file per class)
+    class_lists = []
+    for ci, (_, m) in enumerate(paths):
+        cl = str(tmp_path / f"class{ci}.txt")
+        open(cl, "w").write(m + "\n")
+        class_lists.append(cl)
+    train_list = str(tmp_path / "train.txt")
+    open(train_list, "w").write("\n".join(class_lists))
+    model = str(tmp_path / "model.bin")
+    run_pipeline("gmm-train", train_list, model)
+
+    # aligned-layout classification separates the classes
+    results = run_pipeline("gmm-test", train_list, model, emulate_layout_mismatch=False)
+    for ci, pred, _ in results:
+        assert pred == ci, results
