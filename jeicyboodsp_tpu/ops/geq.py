@@ -60,12 +60,17 @@ def geq_apply(x, b, a, state, dtype=jnp.float32):
         u2, u1, u0 = xh[0], xh[1], xn  # u[n-2], u[n-1], u[n]
         for k in range(TOTAL_BANDS):
             # accumulate in the C loop's exact order (7Band_GEQ.cpp:279-283):
-            # the int16 truncation feedback makes rounding order observable
-            acc = b[k, 2] * u2.astype(dtype)
-            acc = acc - a[k, 2] * yh[k, 0].astype(dtype)
-            acc = acc + b[k, 1] * u1.astype(dtype)
-            acc = acc - a[k, 1] * yh[k, 1].astype(dtype)
-            acc = acc + b[k, 0] * u0.astype(dtype)
+            # the int16 truncation feedback makes rounding order observable.
+            # optimization_barrier pins each product to a separately-rounded
+            # multiply -- XLA would otherwise contract mul+add into fma,
+            # whose different rounding flips truncation boundaries that then
+            # propagate through the integer feedback.
+            ob = jax.lax.optimization_barrier
+            acc = ob(b[k, 2] * u2.astype(dtype))
+            acc = ob(acc - ob(a[k, 2] * yh[k, 0].astype(dtype)))
+            acc = ob(acc + ob(b[k, 1] * u1.astype(dtype)))
+            acc = ob(acc - ob(a[k, 1] * yh[k, 1].astype(dtype)))
+            acc = acc + ob(b[k, 0] * u0.astype(dtype))
             y = c_short_jnp(acc).astype(jnp.int32)
             new_yh.append(jnp.stack([yh[k, 1], y]))
             u2, u1, u0 = yh[k, 0], yh[k, 1], y  # next band's input history
@@ -129,10 +134,31 @@ def geq_apply_fast(x, b, a, dtype=jnp.float32):
     return y
 
 
-def stream_blocks(x, gains_db=GAINS_DB, compat=True, dtype=jnp.float64):
+def stream_blocks(x, gains_db=GAINS_DB, compat=True, dtype=jnp.float64, use_native=True):
     """Host-level convenience: run a whole signal block-by-block (512) and
-    return the concatenated int16 output, matching oracle.geq.run()."""
+    return the concatenated int16 output, matching oracle.geq.run().
+
+    For f64 compat the native C++ kernel is preferred: it is bit-exact
+    against the reference (XLA's fma contraction can flip truncation
+    boundaries in the quantized feedback; see module docstring)."""
     b, a = geq_coefficients(gains_db=gains_db, compat=compat)
+    if use_native and dtype == jnp.float64:
+        from jeicyboodsp_tpu import native
+
+        if native.available():
+            xx = np.asarray(x, np.int16)
+            n = len(xx)
+            n_full, rem = divmod(n, BLOCK_LEN)
+            if rem:  # stale-tail fread semantics: pad from the previous block
+                prev = (
+                    xx[(n_full - 1) * BLOCK_LEN : n_full * BLOCK_LEN]
+                    if n_full
+                    else np.zeros(BLOCK_LEN, np.int16)
+                )
+                xx = np.concatenate([xx, prev[rem:]])
+            ki = np.zeros((TOTAL_BANDS, 2), np.int16)
+            ko = np.zeros((TOTAL_BANDS, 2), np.int16)
+            return native.geq_process(xx, b, a, ki, ko)
     state = init_state()
     n = len(x)
     x = np.asarray(x, dtype=np.int16)

@@ -163,11 +163,22 @@ def _blockify(x, block):
     return blocks
 
 
-def run_nlms_stream(x, ref, dtype=jnp.float64):
-    """Host convenience matching oracle.run_nlms output framing."""
+def run_nlms_stream(x, ref, dtype=jnp.float64, use_native=True):
+    """Host convenience matching oracle.run_nlms output framing.
+
+    f64 compat prefers the native C++ kernel (bit-exact, and far faster than
+    a per-sample scan on host)."""
     n = min(len(x), len(ref))
     xb = _blockify(x[:n], BLOCK_LEN)
     rb = _blockify(ref[:n], BLOCK_LEN)
+    if use_native and dtype == jnp.float64:
+        from jeicyboodsp_tpu import native
+
+        if native.available():
+            coeff = np.zeros(NLMS_TAPS, np.float64)
+            keep = np.zeros(NLMS_KEEP, np.int16)
+            est, err = native.nlms_process(xb.reshape(-1), rb.reshape(-1), coeff, keep)
+            return est[BLOCK_LEN:], err[BLOCK_LEN:]
     est, err, _ = nlms_apply(
         jnp.asarray(xb.reshape(-1)), jnp.asarray(rb.reshape(-1)), nlms_init_state(dtype), dtype=dtype
     )
@@ -175,9 +186,18 @@ def run_nlms_stream(x, ref, dtype=jnp.float64):
     return np.asarray(est).reshape(xb.shape)[1:].reshape(-1), np.asarray(err).reshape(xb.shape)[1:].reshape(-1)
 
 
-def run_bnlms_stream(x, ref, dtype=jnp.float64):
+def run_bnlms_stream(x, ref, dtype=jnp.float64, use_native=True):
     n = min(len(x), len(ref))
     xb = _blockify(x[:n], BLOCK_LEN)
     rb = _blockify(ref[:n], BLOCK_LEN)
+    if use_native and dtype == jnp.float64:
+        from jeicyboodsp_tpu import native
+
+        if native.available():
+            coeff = np.zeros(BNLMS_TAPS, np.float64)
+            ki = np.zeros(BNLMS_KEEP, np.int16)
+            kr = np.zeros(BNLMS_KEEP, np.int16)
+            est, err = native.bnlms_process(xb.reshape(-1), rb.reshape(-1), coeff, ki, kr)
+            return est[BLOCK_LEN:], err[BLOCK_LEN:]
     est, err, _ = bnlms_apply(jnp.asarray(xb), jnp.asarray(rb), bnlms_init_state(dtype), dtype=dtype)
     return np.asarray(est)[1:].reshape(-1), np.asarray(err)[1:].reshape(-1)
