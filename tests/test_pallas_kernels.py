@@ -15,3 +15,21 @@ def test_biquad_cascade_matches_fast_mode(rng, snr):
         bq.geq_cascade_pallas(jnp.asarray(x), bq.pack_coefficients(b, a), interpret=True)
     )
     assert snr(want, got) >= 55.0, snr(want, got)  # f32 kernel vs f64 scan
+
+
+def test_four_step_fft_matches_numpy(rng):
+    from jeicyboodsp_tpu.kernels.fft_pallas import fft_four_step, fft_pallas
+    import jax.numpy as jnp
+
+    for n in (512, 1024, 8192):
+        x = rng.normal(0, 100, (3, n)).astype(np.float32)
+        want = np.fft.fft(x)
+        r, i = fft_four_step(jnp.asarray(x), jnp.zeros((3, n), jnp.float32), n)
+        got = np.asarray(r) + 1j * np.asarray(i)
+        assert np.abs(got - want).max() / np.abs(want).max() < 1e-5
+        r2, i2 = fft_pallas(jnp.asarray(x), jnp.zeros((3, n), jnp.float32), n, interpret=True)
+        got2 = np.asarray(r2) + 1j * np.asarray(i2)
+        assert np.abs(got2 - want).max() / np.abs(want).max() < 1e-5
+        # inverse roundtrip
+        rr, ri = fft_four_step(r, i, n, forward=False)
+        assert np.abs(np.asarray(rr) / n - x).max() < 2e-3
