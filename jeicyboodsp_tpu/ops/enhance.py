@@ -229,6 +229,68 @@ def enhance_blocks(
     return out, write_mask
 
 
+def stream_init_state(dtype=jnp.float64):
+    """Streaming carry for chunked processing / checkpoint-resume.
+
+    Fields mirror the reference statics: noise counter + running average +
+    latched spectrum (EstimateNoiseSpectrum), previous block (the shared
+    keep buffer), previous synthesis tail (the overlap buffer), and the
+    global block index (the write warm-up gate)."""
+    return {
+        "cnt": jnp.zeros((), jnp.int32),
+        "avg": jnp.zeros((FFT_SIZE,), dtype),
+        "latched": jnp.zeros((FFT_SIZE,), dtype),
+        "prev_block": jnp.zeros((BLOCK_LEN,), jnp.int16),
+        "prev_tail": jnp.zeros((BLOCK_LEN,), dtype),
+        "t": jnp.zeros((), jnp.int32),
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("mode", "dtype"))
+def enhance_chunk(state, blocks, mode: str = "wiener", dtype=jnp.float64):
+    """Process a chunk of (Tc, 512) blocks from an explicit carried state.
+
+    Returns (out (Tc,512) int16, write_mask (Tc,), new_state).  Chunked
+    processing with carried state equals one-shot batch processing exactly
+    (asserted in tests); the state pytree is what checkpoints persist.
+    """
+    Tc = blocks.shape[0]
+    prev = jnp.concatenate([state["prev_block"][None], blocks[:-1]], axis=0)
+    X = frame_transform(jnp.concatenate([prev, blocks], axis=1), dtype)
+    mags = jnp.abs(X)
+    speech = vad_flags(blocks, dtype)
+
+    def step(carry, inp):
+        cnt, avg, latched = carry
+        sp, m = inp
+        cnt = jnp.where(sp, 0, cnt + 1)
+        run = (~sp) & (cnt >= 2)
+        avg2 = jnp.where(run, jnp.where(cnt >= 3, (avg + m) / 2.0, avg + m), avg)
+        latched2 = jnp.where(run & (cnt == NOISE_FRAMES), avg2, latched)
+        return (cnt, avg2, latched2), latched2
+
+    (cnt, avg, latched), ns = jax.lax.scan(
+        step, (state["cnt"], state["avg"], state["latched"]), (speech, mags)
+    )
+    y = gain_and_resynth(X, ns, mode)
+    gidx = state["t"] + jnp.arange(Tc)
+    head = y[:, :BLOCK_LEN]
+    tails = jnp.concatenate([state["prev_tail"][None], y[:-1, BLOCK_LEN:]], axis=0)
+    valid = gidx >= 1
+    use_tail = gidx >= 2
+    ola = jnp.where(valid[:, None], head + jnp.where(use_tail[:, None], tails, 0.0), 0.0)
+    out = jnp.where(use_tail[:, None], c_short_jnp(ola), 0)
+    new_state = {
+        "cnt": cnt,
+        "avg": avg,
+        "latched": latched,
+        "prev_block": blocks[-1],
+        "prev_tail": y[-1, BLOCK_LEN:],
+        "t": state["t"] + Tc,
+    }
+    return out, use_tail, new_state
+
+
 def run_stream(x, mode: str = "wiener", dtype=jnp.float64, use_assoc_scan: bool = False):
     """Host convenience: full signal in, reference-equivalent byte stream out."""
     x = np.asarray(x, dtype=np.int16)

@@ -1,0 +1,72 @@
+"""Chunked stateful streaming == batch; checkpoint/resume; aux utils."""
+
+import numpy as np
+
+from jeicyboodsp_tpu.io.stream import EnhanceSession
+from jeicyboodsp_tpu.oracle import enhance as oenh
+
+
+def _signal(rng, blocks=24):
+    n = blocks * 512
+    t = np.arange(n) / 16000
+    speech = 5000 * np.sin(2 * np.pi * 313 * t) * (t > 0.4)
+    return np.clip(speech + rng.normal(0, 20, n), -32768, 32767).astype(np.int16)
+
+
+def test_chunked_equals_oracle(rng):
+    x = _signal(rng)
+    want = oenh.run(x, "wiener")
+    sess = EnhanceSession("wiener")
+    outs = []
+    blocks = x.reshape(-1, 512)
+    for start in range(0, len(blocks), 5):  # ragged chunking
+        outs.append(sess.process(blocks[start : start + 5]))
+    got = np.concatenate(outs)
+    np.testing.assert_array_equal(want, got)
+
+
+def test_checkpoint_resume(rng, tmp_path):
+    x = _signal(rng)
+    blocks = x.reshape(-1, 512)
+    ckpt = str(tmp_path / "state.npz")
+
+    sess = EnhanceSession("wiener")
+    a1 = sess.process(blocks[:10])
+    sess.checkpoint(ckpt)
+    a2 = sess.process(blocks[10:])
+
+    sess2 = EnhanceSession("wiener")
+    sess2.restore(ckpt)
+    assert sess2.sample_offset == 10 * 512
+    b2 = sess2.process(blocks[10:])
+    np.testing.assert_array_equal(a2, b2)
+
+
+def test_metrics_and_roofline():
+    from jeicyboodsp_tpu.utils.metrics import Metrics, snr_db
+    from jeicyboodsp_tpu.utils.profiling import enhance_chain_roofline
+
+    m = Metrics()
+    m.count("blocks", 5)
+    m.gauge("snr_db", 80.0)
+    with m.timer("step"):
+        pass
+    r = m.report()
+    assert r["counters"]["blocks"] == 5 and "step" in r["timings"]
+    assert snr_db([1.0, 2.0], [1.0, 2.0]) == float("inf")
+
+    roof = enhance_chain_roofline().bound()
+    assert roof["speed_of_light_samples_per_s"] > 1e9  # the chain's ceiling
+
+
+def test_checked_guard():
+    import jax.numpy as jnp
+
+    from jeicyboodsp_tpu.utils.debug import assert_all_finite
+
+    assert_all_finite({"a": jnp.ones(3)})
+    try:
+        assert_all_finite({"a": jnp.array([1.0, jnp.nan])})
+        raise AssertionError("should have raised")
+    except FloatingPointError:
+        pass
