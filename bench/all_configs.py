@@ -1,0 +1,349 @@
+#!/usr/bin/env python3
+"""Per-config benchmark table: TPU samples/s (amortized chained protocol),
+single-core C++ reference samples/s, and SNR vs the f64 oracle.
+
+Writes bench/results.json and prints a table.  The headline driver metric
+stays in ../bench.py; this feeds BASELINE.md.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+from functools import partial
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+BIN = os.path.join(ROOT, "bench", "ref_cpp", "bin")
+
+
+def cpp_sps(binary, args_builder, n_samples, per_sample_files=1):
+    path = os.path.join(BIN, binary)
+    if not os.path.exists(path):
+        return None
+    args, cleanup_inputs = args_builder()
+    t0 = time.perf_counter()
+    subprocess.run(
+        [path] + args,
+        stdin=subprocess.DEVNULL,
+        stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL,
+    )
+    return n_samples / (time.perf_counter() - t0)
+
+
+def amortized(fn_calls):
+    """fn_calls(k) runs k chained device iterations and syncs; returns
+    per-iteration seconds."""
+    fn_calls(1)
+    t0 = time.perf_counter()
+    fn_calls(1)
+    t1 = time.perf_counter() - t0
+    fn_calls(5)
+    t0 = time.perf_counter()
+    fn_calls(5)
+    t5 = time.perf_counter() - t0
+    return (t5 - t1) / 4
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from jeicyboodsp_tpu.io.wav import write_pcm16, write_wav
+    from jeicyboodsp_tpu.utils.metrics import snr_db
+
+    rng = np.random.default_rng(1)
+    results = {}
+    fs = 16000
+
+    def mixed_signal(n, fs_=16000):
+        t = np.arange(n) / fs_
+        sp = 5000 * np.sin(2 * np.pi * 313 * t) * (np.sin(2 * np.pi * 0.5 * t) > 0.2)
+        return np.clip(sp + rng.normal(0, 20, n), -32768, 32767).astype(np.int16)
+
+    # ---------------- enhancement (wiener + specsub) ----------------
+    from jeicyboodsp_tpu.ops.enhance import enhance_blocks
+
+    T = 16384
+    x = mixed_signal(T * 512)
+    blocks = jnp.asarray(x.reshape(T, 512))
+    for mode in ("wiener", "specsub"):
+        FAST = dict(mode=mode, dtype=jnp.float32, use_assoc_scan=True, real_fft=True, resynth="ratio")
+
+        @partial(jax.jit, static_argnames=("n",))
+        def chained(b, n):
+            def body(i, carry):
+                cur, acc = carry
+                out, _ = enhance_blocks(cur, **FAST)
+                return cur + (out & 1).astype(jnp.int16), acc + jnp.sum(out.astype(jnp.int32))
+
+            return jax.lax.fori_loop(0, n, body, (b, jnp.int32(0)))[1]
+
+        per = amortized(lambda k: jax.device_get(chained(blocks, k)))
+        # SNR probe
+        from jeicyboodsp_tpu.oracle import enhance as oenh
+
+        probe = x[: 256 * 512]
+        want = oenh.run(probe, mode)
+        got, m = enhance_blocks(jnp.asarray(probe.reshape(-1, 512)), **FAST)
+        got = np.asarray(got)[np.asarray(m)].reshape(-1)
+        # C++ baseline
+        write_pcm16("/tmp/b_in.pcm", x[: fs * 60])
+        base = cpp_sps(mode if mode != "specsub" else "specsub", lambda: (["/tmp/b_in.pcm", "/tmp/b_out.pcm"], None), fs * 60)
+        results[f"enhance_{mode}"] = {
+            "tpu_sps": T * 512 / per,
+            "cpp_sps": base,
+            "snr_db": snr_db(want, got),
+        }
+
+    # ---------------- GEQ ----------------
+    from jeicyboodsp_tpu.kernels.biquad_pallas import geq_cascade_pallas, pack_coefficients
+    from jeicyboodsp_tpu.ops.geq import geq_coefficients
+
+    b, a = geq_coefficients()
+    coef = pack_coefficients(b, a)
+    B, Tg = 2048, 49152
+    xg = jnp.asarray(rng.normal(0, 1000, (B, Tg)).astype(np.float32))
+
+    @partial(jax.jit, static_argnames=("n",))
+    def geq_chain(x0, n):
+        return jax.lax.fori_loop(0, n, lambda i, acc: geq_cascade_pallas(acc, coef), x0)
+
+    per = amortized(lambda k: jax.device_get(geq_chain(xg, k).sum()))
+    xq = mixed_signal(512 * 187, 48000)  # multiple of the block size
+    from jeicyboodsp_tpu.oracle import geq as ogeq
+
+    want = ogeq.run(xq)  # compat (native) path is bit-exact; measure fast-path SNR
+    fast = np.asarray(geq_cascade_pallas(jnp.asarray(xq[None].astype(np.float32)), coef))[0]
+    write_wav("/tmp/b_geq.wav", mixed_signal(48000 * 60, 48000), 48000)
+    base = cpp_sps("geq", lambda: (["/tmp/b_geq.wav", "/tmp/b_geq_out.pcm"], None), 48000 * 60)
+    results["geq"] = {
+        "tpu_sps": B * Tg / per,
+        "cpp_sps": base,
+        "snr_db_fast_vs_ref": snr_db(want, np.trunc(fast)),
+        "compat_exact": True,  # native kernel, asserted in tests
+    }
+
+    # ---------------- fast convolution ----------------
+    from jeicyboodsp_tpu.ops.fastconv import fastconv_blocks, filter_spectrum
+
+    Tc = 4096
+    xc = mixed_signal(Tc * 1024)
+    cblocks = jnp.asarray(xc.reshape(Tc, 1024))
+    H32 = filter_spectrum(dtype=jnp.float32, real_fft=True)
+
+    @partial(jax.jit, static_argnames=("n",))
+    def fc_chain(bk, n):
+        def body(i, carry):
+            cur, acc = carry
+            out = fastconv_blocks(cur, H32, dtype=jnp.float32, real_fft=True)
+            nxt = cur.at[7:].set(cur[7:] + (out & 1).astype(jnp.int16))
+            return nxt, acc + jnp.sum(out.astype(jnp.int32))
+
+        return jax.lax.fori_loop(0, n, body, (bk, jnp.int32(0)))[1]
+
+    per = amortized(lambda k: jax.device_get(fc_chain(cblocks, k)))
+    from jeicyboodsp_tpu.oracle import fastconv as ofc
+
+    probe = xc[: 64 * 1024]
+    want = ofc.run(probe)
+    got = np.asarray(
+        fastconv_blocks(jnp.asarray(probe.reshape(-1, 1024)), H32, dtype=jnp.float32, real_fft=True)
+    ).reshape(-1)
+    write_wav("/tmp/b_fc.wav", xc[: fs * 60], fs)
+    base = cpp_sps("fastconv", lambda: (["/tmp/b_fc.wav", "/tmp/b_fc_out.pcm"], None), fs * 60)
+    results["fastconv"] = {
+        "tpu_sps": Tc * 1024 / per,
+        "cpp_sps": base,
+        "snr_db": snr_db(want, got),
+    }
+
+    # ---------------- BNLMS ----------------
+    from jeicyboodsp_tpu.ops.nlms import bnlms_apply, bnlms_init_state
+
+    Tb = 512
+    xb_ = mixed_signal(Tb * 1024)
+    h = rng.normal(0, 0.1, 32)
+    h[0] = 0.5
+    rb_ = np.clip(np.convolve(xb_.astype(np.float64), h)[: Tb * 1024], -32768, 32767).astype(np.int16)
+    xb = jnp.asarray(xb_.reshape(Tb, 1024))
+    rb = jnp.asarray(rb_.reshape(Tb, 1024))
+
+    @partial(jax.jit, static_argnames=("n",))
+    def bn_chain(xx, rr, n):
+        def body(i, carry):
+            x0, acc = carry
+            est, err, _ = bnlms_apply(x0, rr, bnlms_init_state(jnp.float32), dtype=jnp.float32)
+            return x0 + (est & 1).astype(jnp.int16), acc + jnp.sum(err.astype(jnp.int32))
+
+        return jax.lax.fori_loop(0, n, body, (xx, jnp.int32(0)))[1]
+
+    per = amortized(lambda k: jax.device_get(bn_chain(xb, rb, k)))
+    from jeicyboodsp_tpu.oracle import nlms as onl
+
+    pe, perr = onl.run_bnlms(xb_[: 16 * 1024], rb_[: 16 * 1024])
+    est, err, _ = bnlms_apply(
+        jnp.asarray(xb_[: 16 * 1024].reshape(-1, 1024)),
+        jnp.asarray(rb_[: 16 * 1024].reshape(-1, 1024)),
+        bnlms_init_state(jnp.float32),
+        dtype=jnp.float32,
+    )
+    got = np.asarray(est)[1:].reshape(-1)
+    write_wav("/tmp/b_nl_in.wav", xb_[: fs * 30], fs)
+    write_pcm16("/tmp/b_nl_ref.pcm", rb_[: fs * 30])
+    base = cpp_sps(
+        "bnlms",
+        lambda: (["/tmp/b_nl_in.wav", "/tmp/b_nl_ref.pcm", "/tmp/b_e.pcm", "/tmp/b_r.pcm"], None),
+        fs * 30,
+    )
+    results["bnlms"] = {
+        "tpu_sps": Tb * 1024 / per,
+        "cpp_sps": base,
+        "snr_db": snr_db(pe, got),
+    }
+
+    # ---------------- MVDR ----------------
+    from jeicyboodsp_tpu.ops.mvdr import mvdr_blocks
+
+    Tm = 8192
+    sp = mixed_signal(Tm * 512)
+    xl_ = sp
+    xr_ = np.clip(0.8 * sp.astype(np.float64) + rng.normal(0, 15, len(sp)), -32768, 32767).astype(np.int16)
+    ml = jnp.asarray(xl_.reshape(Tm, 512))
+    mr = jnp.asarray(xr_.reshape(Tm, 512))
+
+    @partial(jax.jit, static_argnames=("n",))
+    def mv_chain(l, r, n):
+        def body(i, carry):
+            l0, acc = carry
+            out, _ = mvdr_blocks(l0, r, 0.0, dtype=jnp.float32)
+            return l0 + (out & 1).astype(jnp.int16), acc + jnp.sum(out.astype(jnp.int32))
+
+        return jax.lax.fori_loop(0, n, body, (l, jnp.int32(0)))[1]
+
+    per = amortized(lambda k: jax.device_get(mv_chain(ml, mr, k)))
+    from jeicyboodsp_tpu.oracle import mvdr as omv
+
+    want = omv.run(xl_[: 64 * 512], xr_[: 64 * 512])
+    got, msk = mvdr_blocks(
+        jnp.asarray(xl_[: 64 * 512].reshape(-1, 512)),
+        jnp.asarray(xr_[: 64 * 512].reshape(-1, 512)),
+        0.0,
+        dtype=jnp.float32,
+    )
+    got = np.asarray(got)[np.asarray(msk)].reshape(-1)
+    write_wav("/tmp/b_mv_l.wav", xl_[: fs * 30], fs)
+    write_wav("/tmp/b_mv_r.wav", xr_[: fs * 30], fs)
+    base = cpp_sps(
+        "mvdr", lambda: (["/tmp/b_mv_l.wav", "/tmp/b_mv_r.wav", "/tmp/b_mv_o.pcm"], None), fs * 30
+    )
+    results["mvdr"] = {
+        "tpu_sps": Tm * 512 / per,
+        "cpp_sps": base,
+        "snr_db": snr_db(want, got),
+    }
+
+    # ---------------- MFCC ----------------
+    from jeicyboodsp_tpu.ops.features import dct_lifter_matrix, mel_matrix, mfcc_blocks
+
+    Tf = 8192
+    xf = mixed_signal(Tf * 1024)
+    fblocks = jnp.asarray(xf.reshape(Tf, 1024))
+    mel_m = jnp.asarray(mel_matrix(np.float32))
+    dct_m = jnp.asarray(dct_lifter_matrix(np.float32))
+
+    @partial(jax.jit, static_argnames=("n",))
+    def mf_chain(bk, n):
+        def body(i, carry):
+            cur, acc = carry
+            feats = mfcc_blocks(cur, mel_m, dct_m, dtype=jnp.float32)
+            return cur + (feats[0, 0] > acc).astype(jnp.int16), acc + jnp.sum(feats)
+
+        return jax.lax.fori_loop(0, n, body, (bk, jnp.float32(0)))[1]
+
+    per = amortized(lambda k: jax.device_get(mf_chain(fblocks, k)))
+    from jeicyboodsp_tpu.ops.features import mfcc_run
+    from jeicyboodsp_tpu.oracle import mfcc as omf
+
+    probe = xf[: 32 * 1024]
+    want = omf.run(probe)
+    got = mfcc_run(probe, dtype=jnp.float32)
+    open("/tmp/b_mfcc_list.txt", "w").write("/tmp/b_mfcc_in.wav /tmp/b_mfcc_out.mfc\n")
+    write_wav("/tmp/b_mfcc_in.wav", xf[: fs * 60], fs)
+    base = cpp_sps("mfcc", lambda: (["/tmp/b_mfcc_list.txt"], None), fs * 60)
+    rel = float(np.median(np.abs(want - got) / np.maximum(np.abs(want), 1e-9)))
+    results["mfcc"] = {
+        "tpu_sps": Tf * 1024 / per,
+        "cpp_sps": base,
+        "median_rel_err": rel,
+    }
+
+    # ---------------- FFT roundtrip ----------------
+    from jeicyboodsp_tpu.ops.fft import roundtrip_blocks
+
+    Tr = 16384
+    xr2 = mixed_signal(Tr * 512)
+    rblocks = jnp.asarray(xr2.reshape(Tr, 512))
+
+    @partial(jax.jit, static_argnames=("n",))
+    def rt_chain(bk, n):
+        def body(i, carry):
+            cur, acc = carry
+            out = roundtrip_blocks(cur, dtype=jnp.float32)
+            return cur + (out & 1).astype(jnp.int16), acc + jnp.sum(out.astype(jnp.int32))
+
+        return jax.lax.fori_loop(0, n, body, (bk, jnp.int32(0)))[1]
+
+    per = amortized(lambda k: jax.device_get(rt_chain(rblocks, k)))
+    write_wav("/tmp/b_fft.wav", xr2[: fs * 60], fs)
+    base = cpp_sps("fft", lambda: (["/tmp/b_fft.wav", "/tmp/b_fft_out.pcm"], None), fs * 60)
+    from jeicyboodsp_tpu.oracle import fftprog
+
+    want = fftprog.run(xr2[: 16 * 512])
+    got = np.asarray(roundtrip_blocks(jnp.asarray(xr2[: 16 * 512].reshape(-1, 512)), dtype=jnp.float32)).reshape(-1)
+    results["fft_roundtrip"] = {
+        "tpu_sps": Tr * 512 / per,
+        "cpp_sps": base,
+        "snr_db": snr_db(want, got),
+    }
+
+    # ---------------- pitch (method 1) ----------------
+    from jeicyboodsp_tpu.ops.features import pitch_frames
+
+    Tp = 16384
+    xp = mixed_signal(Tp * 512)
+    pb = jnp.asarray(xp.reshape(Tp, 512))
+    frames = jnp.concatenate(
+        [jnp.concatenate([jnp.zeros((1, 512), jnp.int16), pb[:-1]]), pb], axis=1
+    )
+
+    @partial(jax.jit, static_argnames=("n",))
+    def p_chain(fr, n):
+        def body(i, carry):
+            cur, acc = carry
+            args, vals, f0 = pitch_frames(cur, method=1, dtype=jnp.float32)
+            return cur + (args[0] % 2).astype(jnp.int16), acc + jnp.sum(args)
+
+        return jax.lax.fori_loop(0, n, body, (fr, jnp.int32(0)))[1]
+
+    per = amortized(lambda k: jax.device_get(p_chain(frames, k)))
+    write_wav("/tmp/b_p.wav", xp[: fs * 60], fs)
+    base = cpp_sps("pitch1", lambda: (["/tmp/b_p.wav"], None), fs * 60)
+    results["pitch1"] = {"tpu_sps": Tp * 512 / per, "cpp_sps": base}
+
+    # ---------------- report ----------------
+    for k, v in results.items():
+        if v.get("cpp_sps"):
+            v["speedup_vs_cpp"] = v["tpu_sps"] / v["cpp_sps"]
+    out_path = os.path.join(ROOT, "bench", "results.json")
+    with open(out_path, "w") as f:
+        json.dump(results, f, indent=2)
+    print(json.dumps(results, indent=2))
+
+
+if __name__ == "__main__":
+    main()
