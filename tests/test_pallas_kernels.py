@@ -33,3 +33,22 @@ def test_four_step_fft_matches_numpy(rng):
         # inverse roundtrip
         rr, ri = fft_four_step(r, i, n, forward=False)
         assert np.abs(np.asarray(rr) / n - x).max() < 2e-3
+
+
+def test_nlms_pallas_matches_oracle(rng, snr):
+    from jeicyboodsp_tpu.kernels.nlms_pallas import nlms_pallas
+    from jeicyboodsp_tpu.oracle import nlms as onl
+
+    n = 1024 * 2
+    x = np.clip(rng.normal(0, 3000, n), -32768, 32767).astype(np.int16)
+    h = rng.normal(0, 0.1, 32)
+    h[0] = 0.5
+    ref = np.clip(np.convolve(x.astype(np.float64), h)[:n], -32768, 32767).astype(np.int16)
+    # oracle (bit-exact to the C program); kernel is the f32 batched fast path
+    state = onl.NLMSState()
+    oe1, oerr1, _ = onl.nlms_block(state, x[:1024], ref[:1024])
+    oe2, oerr2, _ = onl.nlms_block(state, x[1024:], ref[1024:])
+    want_e = np.concatenate([oe1, oe2])
+    est, err = nlms_pallas(jnp.asarray(x[None]), jnp.asarray(ref[None]), interpret=True)
+    got_e = np.asarray(est)[0]
+    assert snr(want_e, got_e) >= 50.0, snr(want_e, got_e)
