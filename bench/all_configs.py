@@ -36,13 +36,12 @@ def cpp_sps(binary, args_builder, n_samples, per_sample_files=1):
 
 
 def amortized(fn_calls):
-    """fn_calls(k) runs k chained device iterations and syncs; returns
-    per-iteration seconds."""
-    fn_calls(1)
+    """fn_calls(k) runs k chained device iterations (k is a TRACED loop
+    bound -- one compile total) and syncs; returns per-iteration seconds."""
+    fn_calls(1)  # compile + warm
     t0 = time.perf_counter()
     fn_calls(1)
     t1 = time.perf_counter() - t0
-    fn_calls(5)
     t0 = time.perf_counter()
     fn_calls(5)
     t5 = time.perf_counter() - t0
@@ -74,7 +73,7 @@ def main():
     for mode in ("wiener", "specsub"):
         FAST = dict(mode=mode, dtype=jnp.float32, use_assoc_scan=True, real_fft=True, resynth="ratio")
 
-        @partial(jax.jit, static_argnames=("n",))
+        @jax.jit
         def chained(b, n):
             def body(i, carry):
                 cur, acc = carry
@@ -109,7 +108,7 @@ def main():
     B, Tg = 2048, 49152
     xg = jnp.asarray(rng.normal(0, 1000, (B, Tg)).astype(np.float32))
 
-    @partial(jax.jit, static_argnames=("n",))
+    @jax.jit
     def geq_chain(x0, n):
         return jax.lax.fori_loop(0, n, lambda i, acc: geq_cascade_pallas(acc, coef), x0)
 
@@ -131,12 +130,12 @@ def main():
     # ---------------- fast convolution ----------------
     from jeicyboodsp_tpu.ops.fastconv import fastconv_blocks, filter_spectrum
 
-    Tc = 4096
+    Tc = 2048
     xc = mixed_signal(Tc * 1024)
     cblocks = jnp.asarray(xc.reshape(Tc, 1024))
     H32 = filter_spectrum(dtype=jnp.float32, real_fft=True)
 
-    @partial(jax.jit, static_argnames=("n",))
+    @jax.jit
     def fc_chain(bk, n):
         def body(i, carry):
             cur, acc = carry
@@ -173,7 +172,7 @@ def main():
     xb = jnp.asarray(xb_.reshape(Tb, 1024))
     rb = jnp.asarray(rb_.reshape(Tb, 1024))
 
-    @partial(jax.jit, static_argnames=("n",))
+    @jax.jit
     def bn_chain(xx, rr, n):
         def body(i, carry):
             x0, acc = carry
@@ -216,7 +215,7 @@ def main():
     ml = jnp.asarray(xl_.reshape(Tm, 512))
     mr = jnp.asarray(xr_.reshape(Tm, 512))
 
-    @partial(jax.jit, static_argnames=("n",))
+    @jax.jit
     def mv_chain(l, r, n):
         def body(i, carry):
             l0, acc = carry
@@ -256,7 +255,7 @@ def main():
     mel_m = jnp.asarray(mel_matrix(np.float32))
     dct_m = jnp.asarray(dct_lifter_matrix(np.float32))
 
-    @partial(jax.jit, static_argnames=("n",))
+    @jax.jit
     def mf_chain(bk, n):
         def body(i, carry):
             cur, acc = carry
@@ -289,7 +288,7 @@ def main():
     xr2 = mixed_signal(Tr * 512)
     rblocks = jnp.asarray(xr2.reshape(Tr, 512))
 
-    @partial(jax.jit, static_argnames=("n",))
+    @jax.jit
     def rt_chain(bk, n):
         def body(i, carry):
             cur, acc = carry
@@ -321,7 +320,7 @@ def main():
         [jnp.concatenate([jnp.zeros((1, 512), jnp.int16), pb[:-1]]), pb], axis=1
     )
 
-    @partial(jax.jit, static_argnames=("n",))
+    @jax.jit
     def p_chain(fr, n):
         def body(i, carry):
             cur, acc = carry

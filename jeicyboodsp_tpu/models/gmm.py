@@ -190,6 +190,24 @@ def score_frames(frames, alpha, mean, cov, eigvec):
     return jnp.mean(jnp.log(s))
 
 
+@functools.partial(jax.jit, static_argnames=("iterations",))
+def train_classes_batched(frames, masks, iterations=EM_ITERATIONS):
+    """vmapped per-class training: frames (C, N, 12) padded, masks (C, N).
+
+    The class axis is the framework's "expert" axis -- shard it over the
+    data mesh dimension and each device trains its classes independently
+    (no cross-class communication exists in the reference algorithm).
+    Returns PCA-exported (alpha (C,4), mean (C,4,12), cov (C,4,12,12),
+    eigvec (C,4,12,8)).
+    """
+
+    def one(f, m):
+        alpha, mean, cov = train_single_file(f, m, iterations=iterations)
+        return pca_export(alpha, mean, cov)
+
+    return jax.vmap(one)(frames, masks)
+
+
 def train_class(files: list[np.ndarray], dtype=jnp.float64):
     """Host-level per-class training over a list of feature arrays,
     mirroring the reference's file loop.  Returns PCA-exported params."""

@@ -63,13 +63,16 @@ def fastconv_blocks(blocks, H, dtype=jnp.float64, real_fft=False):
 
 
 def filter_spectrum(h=None, dtype=jnp.float64, real_fft=False):
+    """Host-side (numpy) filter spectrum: kept off-device so jit captures it
+    as a compile-time constant (complex device<->host transfers are not
+    supported on all backends)."""
     if h is None:
         h = load_rir()
     h = np.asarray(h, dtype=np.float64)
+    ctype = np.complex64 if dtype == jnp.float32 else np.complex128
     if real_fft:
-        return jnp.asarray(np.fft.rfft(h, FFT_SIZE), jnp.complex64 if dtype == jnp.float32 else jnp.complex128)
-    H = np.fft.fft(h, FFT_SIZE)
-    return jnp.asarray(H, jnp.complex128 if dtype == jnp.float64 else jnp.complex64)
+        return np.fft.rfft(h, FFT_SIZE).astype(ctype)
+    return np.fft.fft(h, FFT_SIZE).astype(ctype)
 
 
 def run_stream(x, dtype=jnp.float64, real_fft=False):

@@ -23,7 +23,6 @@ import numpy as np
 
 from jeicyboodsp_tpu.oracle.mfcc import (
     CHANNEL,
-    HALF_SAMPLING_RATE,
     KEEP_LEN,
     LIFTER_LEN,
     MFCC_LEN,

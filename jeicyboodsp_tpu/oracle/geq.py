@@ -23,7 +23,7 @@ import math
 
 import numpy as np
 
-from jeicyboodsp_tpu.utils.cnum import REF_PI, c_short_scalar
+from jeicyboodsp_tpu.utils.cnum import REF_PI
 
 SAMPLING_RATE = 48000.0  # 7Band_GEQ.cpp:33
 TOTAL_BANDS = 7

@@ -150,3 +150,23 @@ def test_hmm_serialization_roundtrip(tmp_path):
     states2, trans2 = ser.unpack_hmm(blob)
     np.testing.assert_array_equal(trans, trans2)
     np.testing.assert_array_equal(states[3][1], states2[3][1])
+
+
+def test_batched_multiclass_training_matches_per_class():
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(29)
+    classes = [_class_data(rng, 96 + 8 * i) for i in range(3)]
+    n_max = max(len(c) for c in classes)
+    frames = np.zeros((3, n_max, 12))
+    masks = np.zeros((3, n_max), bool)
+    for i, c in enumerate(classes):
+        frames[i, : len(c)] = c
+        masks[i, : len(c)] = True
+    a_b, m_b, c_b, e_b = mgmm.train_classes_batched(jnp.asarray(frames), jnp.asarray(masks))
+    for i, c in enumerate(classes):
+        a, m, cv, e = mgmm.train_class([c])
+        np.testing.assert_allclose(np.asarray(a_b)[i], np.asarray(a), rtol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(m_b)[i][:, :4], np.asarray(m)[:, :4], rtol=1e-4, atol=1e-4
+        )
