@@ -36,19 +36,18 @@ def cpp_sps(binary, args_builder, n_samples, per_sample_files=1):
 
 
 def amortized(fn_calls):
-    """fn_calls(k) runs k chained device iterations (k is a TRACED loop
-    bound -- one compile total) and syncs; returns per-iteration seconds."""
-    fn_calls(1)  # compile + warm
-    t0 = time.perf_counter()
-    fn_calls(1)
-    t1 = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    fn_calls(5)
-    t5 = time.perf_counter() - t0
+    """fn_calls(k) runs k chained device iterations and syncs; each k is
+    compiled+warmed before its timed run; returns per-iteration seconds."""
+    def timed(k):
+        fn_calls(k)  # compile + warm
+        t0 = time.perf_counter()
+        fn_calls(k)
+        return time.perf_counter() - t0
+    t1, t5 = timed(1), timed(5)
     return (t5 - t1) / 4
 
 
-def main():
+def main(groups=None):
     import jax
     import jax.numpy as jnp
 
@@ -73,7 +72,7 @@ def main():
     for mode in ("wiener", "specsub"):
         FAST = dict(mode=mode, dtype=jnp.float32, use_assoc_scan=True, real_fft=True, resynth="ratio")
 
-        @jax.jit
+        @partial(jax.jit, static_argnames=("n",))
         def chained(b, n):
             def body(i, carry):
                 cur, acc = carry
@@ -108,7 +107,7 @@ def main():
     B, Tg = 2048, 49152
     xg = jnp.asarray(rng.normal(0, 1000, (B, Tg)).astype(np.float32))
 
-    @jax.jit
+    @partial(jax.jit, static_argnames=("n",))
     def geq_chain(x0, n):
         return jax.lax.fori_loop(0, n, lambda i, acc: geq_cascade_pallas(acc, coef), x0)
 
@@ -135,7 +134,7 @@ def main():
     cblocks = jnp.asarray(xc.reshape(Tc, 1024))
     H32 = filter_spectrum(dtype=jnp.float32, real_fft=True)
 
-    @jax.jit
+    @partial(jax.jit, static_argnames=("n",))
     def fc_chain(bk, n):
         def body(i, carry):
             cur, acc = carry
@@ -172,7 +171,7 @@ def main():
     xb = jnp.asarray(xb_.reshape(Tb, 1024))
     rb = jnp.asarray(rb_.reshape(Tb, 1024))
 
-    @jax.jit
+    @partial(jax.jit, static_argnames=("n",))
     def bn_chain(xx, rr, n):
         def body(i, carry):
             x0, acc = carry
@@ -215,7 +214,7 @@ def main():
     ml = jnp.asarray(xl_.reshape(Tm, 512))
     mr = jnp.asarray(xr_.reshape(Tm, 512))
 
-    @jax.jit
+    @partial(jax.jit, static_argnames=("n",))
     def mv_chain(l, r, n):
         def body(i, carry):
             l0, acc = carry
@@ -255,7 +254,7 @@ def main():
     mel_m = jnp.asarray(mel_matrix(np.float32))
     dct_m = jnp.asarray(dct_lifter_matrix(np.float32))
 
-    @jax.jit
+    @partial(jax.jit, static_argnames=("n",))
     def mf_chain(bk, n):
         def body(i, carry):
             cur, acc = carry
@@ -288,7 +287,7 @@ def main():
     xr2 = mixed_signal(Tr * 512)
     rblocks = jnp.asarray(xr2.reshape(Tr, 512))
 
-    @jax.jit
+    @partial(jax.jit, static_argnames=("n",))
     def rt_chain(bk, n):
         def body(i, carry):
             cur, acc = carry
@@ -320,7 +319,7 @@ def main():
         [jnp.concatenate([jnp.zeros((1, 512), jnp.int16), pb[:-1]]), pb], axis=1
     )
 
-    @jax.jit
+    @partial(jax.jit, static_argnames=("n",))
     def p_chain(fr, n):
         def body(i, carry):
             cur, acc = carry
@@ -345,4 +344,5 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys as _sys
+    main(set(_sys.argv[1:]) or None)

@@ -231,3 +231,46 @@ def mvdr_sharded(blocks_l, blocks_r, mesh, d_time=0.0, dtype=jnp.float64, axis: 
 def data_parallel_sharding(mesh, axis: str = "data"):
     """NamedSharding that splits a leading batch axis across the data axis."""
     return NamedSharding(mesh, P(axis))
+
+
+def em_step_sharded(frames, mask, alpha, mean, cov, mesh, axis: str = "data"):
+    """One compat EM iteration with frames sharded over `axis`.
+
+    The E-step responsibilities are local; the M-step sufficient statistics
+    (responsibility sums, weighted feature sums, weighted scatter matrices)
+    are the reference algorithm's only global reductions -- here explicit
+    ``psum`` over ICI (SURVEY §5).  Exactly equals models.gmm.em_step up to
+    summation order.
+    """
+    import jax.numpy as jnp
+
+    from jeicyboodsp_tpu.models.gmm import NUM_OF_MIXTURE, PCA_LEN_TRAIN, _pca_prob
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis), P(), P(None, None), P(None, None, None)),
+        out_specs=(P(), P(None, None), P(None, None, None)),
+    )
+    def run(f_loc, m_loc, alpha_r, mean_r, cov_r):
+        probs = jnp.stack(
+            [_pca_prob(f_loc, mean_r[k], cov_r[k], PCA_LEN_TRAIN) for k in range(NUM_OF_MIXTURE)],
+            axis=1,
+        )
+        w = probs * alpha_r[None, :]
+        w = w / jnp.sum(w, axis=1, keepdims=True)
+        w = jnp.where(m_loc[:, None], w, 0.0)
+
+        n = jax.lax.psum(jnp.sum(m_loc.astype(f_loc.dtype)), axis)
+        w_sum = jax.lax.psum(jnp.sum(w, axis=0), axis)  # (4,)
+        wx = jax.lax.psum(w.T @ f_loc, axis)  # (4, 12)
+
+        n_of_key = alpha_r + w_sum
+        alpha_new = n_of_key / n
+        mean_new = (mean_r + wx) / n_of_key[:, None]
+        diff = f_loc[:, None, :] - mean_new[None, :, :]
+        scatter = jax.lax.psum(jnp.einsum("nk,nki,nkj->kij", w, diff, diff), axis)
+        cov_new = scatter / n_of_key[:, None, None]
+        return alpha_new, mean_new, cov_new
+
+    return run(frames, mask, alpha, mean, cov)

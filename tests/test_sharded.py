@@ -78,3 +78,23 @@ def test_data_parallel_geq_fast(rng):
     xs = jax.device_put(jnp.asarray(x), S.data_parallel_sharding(mesh))
     got = G.geq_apply_fast(xs, b, a, dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(want), np.asarray(got), rtol=1e-5, atol=1e-3)
+
+
+def test_em_step_sharded_matches_local():
+    from jeicyboodsp_tpu.models.gmm import em_step
+
+    rng = np.random.default_rng(31)
+    centers = rng.normal(0, 4, (4, 12))
+    frames = np.array([centers[i % 4] + rng.normal(0, 2.0, 12) for i in range(128)])
+    mask = np.ones(128, bool)
+    alpha = np.full(4, 0.25)
+    mean = frames[np.arange(4) * 4]
+    cov = np.stack([np.eye(12) * 4.0] * 4)
+
+    want = em_step(jnp.asarray(frames), jnp.asarray(mask), jnp.asarray(alpha), jnp.asarray(mean), jnp.asarray(cov))
+    mesh = make_mesh(axis_names=("data",), shape=(8,))
+    got = S.em_step_sharded(
+        jnp.asarray(frames), jnp.asarray(mask), jnp.asarray(alpha), jnp.asarray(mean), jnp.asarray(cov), mesh
+    )
+    for w, g in zip(want, got):
+        np.testing.assert_allclose(np.asarray(w), np.asarray(g), rtol=1e-10, atol=1e-12)
