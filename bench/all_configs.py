@@ -132,13 +132,13 @@ def main(groups=None):
     Tc = 2048
     xc = mixed_signal(Tc * 1024)
     cblocks = jnp.asarray(xc.reshape(Tc, 1024))
-    H32 = filter_spectrum(dtype=jnp.float32, real_fft=True)
+    H32r, H32i = filter_spectrum(dtype=jnp.float32, real_fft=True)
 
     @partial(jax.jit, static_argnames=("n",))
     def fc_chain(bk, n):
         def body(i, carry):
             cur, acc = carry
-            out = fastconv_blocks(cur, H32, dtype=jnp.float32, real_fft=True)
+            out = fastconv_blocks(cur, H32r, H32i, dtype=jnp.float32, real_fft=True)
             nxt = cur.at[7:].set(cur[7:] + (out & 1).astype(jnp.int16))
             return nxt, acc + jnp.sum(out.astype(jnp.int32))
 
@@ -150,7 +150,7 @@ def main(groups=None):
     probe = xc[: 64 * 1024]
     want = ofc.run(probe)
     got = np.asarray(
-        fastconv_blocks(jnp.asarray(probe.reshape(-1, 1024)), H32, dtype=jnp.float32, real_fft=True)
+        fastconv_blocks(jnp.asarray(probe.reshape(-1, 1024)), H32r, H32i, dtype=jnp.float32, real_fft=True)
     ).reshape(-1)
     write_wav("/tmp/b_fc.wav", xc[: fs * 60], fs)
     base = cpp_sps("fastconv", lambda: (["/tmp/b_fc.wav", "/tmp/b_fc_out.pcm"], None), fs * 60)

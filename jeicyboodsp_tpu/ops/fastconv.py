@@ -42,13 +42,15 @@ def _segments(flat, T):
 
 
 @functools.partial(jax.jit, static_argnames=("dtype", "real_fft"))
-def fastconv_blocks(blocks, H, dtype=jnp.float64, real_fft=False):
+def fastconv_blocks(blocks, Hr, Hi, dtype=jnp.float64, real_fft=False):
     """(T, 1024) int16 blocks -> (T-7, 1024) int16 written output blocks.
 
-    H is the precomputed filter spectrum: complex (8192,) for full FFT or
-    (4097,) for rfft mode (see :func:`filter_spectrum`).
+    Hr/Hi are the real/imag planes of the precomputed filter spectrum
+    ((8192,) for full FFT, (4097,) for rfft mode); split planes because
+    complex host<->device transfers are not supported on all backends.
     """
     T = blocks.shape[0]
+    H = Hr + 1j * Hi
     x_eff = blocks.at[:WARMUP_BLOCKS].set(0)  # warm-up blocks never stored
     flat = x_eff.reshape(-1).astype(dtype)
     segs = _segments(flat, T)
@@ -57,22 +59,20 @@ def fastconv_blocks(blocks, H, dtype=jnp.float64, real_fft=False):
         y = jnp.fft.irfft(Y, FFT_SIZE)
     else:
         ctype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
-        Y = jnp.fft.fft(segs.astype(ctype)) * H
+        Y = jnp.fft.fft(segs.astype(ctype)) * H.astype(ctype)
         y = jnp.fft.ifft(Y).real
     return c_short_jnp(y[:, FILTER_LENGTH - 1 :])
 
 
 def filter_spectrum(h=None, dtype=jnp.float64, real_fft=False):
-    """Host-side (numpy) filter spectrum: kept off-device so jit captures it
-    as a compile-time constant (complex device<->host transfers are not
-    supported on all backends)."""
+    """Host-side (numpy) filter spectrum as (real, imag) float planes."""
     if h is None:
         h = load_rir()
     h = np.asarray(h, dtype=np.float64)
     ctype = np.complex64 if dtype == jnp.float32 else np.complex128
-    if real_fft:
-        return np.fft.rfft(h, FFT_SIZE).astype(ctype)
-    return np.fft.fft(h, FFT_SIZE).astype(ctype)
+    H = np.fft.rfft(h, FFT_SIZE) if real_fft else np.fft.fft(h, FFT_SIZE)
+    H = H.astype(ctype)
+    return H.real.copy(), H.imag.copy()
 
 
 def run_stream(x, dtype=jnp.float64, real_fft=False):
@@ -87,6 +87,6 @@ def run_stream(x, dtype=jnp.float64, real_fft=False):
         T += 1
     if T <= WARMUP_BLOCKS:
         return np.zeros(0, np.int16)
-    H = filter_spectrum(dtype=dtype, real_fft=real_fft)
-    out = fastconv_blocks(jnp.asarray(blocks), H, dtype=dtype, real_fft=real_fft)
+    Hr, Hi = filter_spectrum(dtype=dtype, real_fft=real_fft)
+    out = fastconv_blocks(jnp.asarray(blocks), Hr, Hi, dtype=dtype, real_fft=real_fft)
     return np.asarray(out).reshape(-1)

@@ -106,7 +106,7 @@ def enhance_sharded(blocks, mesh, mode: str = "wiener", dtype=jnp.float64, axis:
     return run(blocks)
 
 
-def fastconv_sharded(blocks, H, mesh, dtype=jnp.float64, axis: str = "time"):
+def fastconv_sharded(blocks, Hr, Hi, mesh, dtype=jnp.float64, axis: str = "time"):
     """(T, 1024) int16 -> (T, 1024) int16 out + mask (t >= 7).
 
     Unlike ops.fastconv (which drops warm-up rows), returns full T rows with
@@ -130,7 +130,7 @@ def fastconv_sharded(blocks, H, mesh, dtype=jnp.float64, axis: str = "time"):
         starts = jnp.arange(Tl) * FC.BLOCK_SIZE
         segs = flat[starts[:, None] + jnp.arange(FC.FFT_SIZE)[None, :]]
         ctype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
-        y = jnp.fft.ifft(jnp.fft.fft(segs.astype(ctype)) * H).real
+        y = jnp.fft.ifft(jnp.fft.fft(segs.astype(ctype)) * (Hr + 1j * Hi).astype(ctype)).real
         out = c_short_jnp(y[:, FC.FILTER_LENGTH - 1 :])
         mask = gidx >= FC.WARMUP_BLOCKS
         return jnp.where(mask[:, None], out, 0), mask

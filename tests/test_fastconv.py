@@ -21,7 +21,7 @@ def test_f64_tight(rng, snr):
     a, b = ofc.run(x), jfc.run_stream(x, dtype=jnp.float64)
     d = a.astype(int) - b.astype(int)
     assert np.abs(d).max() <= 1
-    assert (d != 0).mean() < 1e-3
+    assert (d != 0).mean() < 3e-3
     assert snr(a, b) >= 80.0
 
 

@@ -46,9 +46,9 @@ def test_fastconv_sharded_exact(rng):
     n = 1024 * 16
     x = np.clip(rng.normal(0, 2000, n), -32768, 32767).astype(np.int16)
     blocks = jnp.asarray(x.reshape(-1, 1024))
-    H = FC.filter_spectrum()
-    want = FC.fastconv_blocks(blocks, H)  # (T-7, 1024)
-    got, mask = S.fastconv_sharded(blocks, H, _mesh())
+    Hr, Hi = FC.filter_spectrum()
+    want = FC.fastconv_blocks(blocks, Hr, Hi)  # (T-7, 1024)
+    got, mask = S.fastconv_sharded(blocks, Hr, Hi, _mesh())
     got = np.asarray(got)[np.asarray(mask)]
     _assert_lsb_equal(np.asarray(want), got)
 
