@@ -35,10 +35,15 @@ from jeicyboodsp_tpu.utils.cnum import c_short_jnp
 
 
 def _segments(flat, T):
-    """(T*1024,) -> (T-7, 8192) overlapping segments, hop 1024."""
-    starts = jnp.arange(T - WARMUP_BLOCKS) * BLOCK_SIZE
-    idx = starts[:, None] + jnp.arange(FFT_SIZE)[None, :]
-    return flat[idx]
+    """(T*1024,) -> (T-7, 8192) overlapping segments, hop 1024.
+
+    Built from 8 static strided slices (segment t = blocks t..t+7), not a
+    gather -- generic gathers of 67 MB lower to very slow loops on TPU.
+    """
+    nseg = T - WARMUP_BLOCKS
+    blocks = flat.reshape(T, BLOCK_SIZE)
+    parts = [blocks[i : i + nseg] for i in range(WARMUP_BLOCKS + 1)]
+    return jnp.concatenate(parts, axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("dtype", "real_fft"))

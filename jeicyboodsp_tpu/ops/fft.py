@@ -62,10 +62,28 @@ def fft_radix2(re, im, forward: bool = True, n: int | None = None, dtype=jnp.flo
     return re, im
 
 
-@functools.partial(jax.jit, static_argnames=("dtype",))
-def roundtrip_blocks(blocks, dtype=jnp.float64):
-    """(T, 512) int16 -> (T, 512) int16 FFT->IFFT->/N->short, as the program."""
+@functools.partial(jax.jit, static_argnames=("dtype", "engine"))
+def roundtrip_blocks(blocks, dtype=jnp.float64, engine: str = "radix2"):
+    """(T, 512) int16 -> (T, 512) int16 FFT->IFFT->/N->short, as the program.
+
+    engine="radix2" is the reference-structured algorithm (compat; accurate
+    on CPU, but this TPU backend executes the scatter-chain stages with
+    degraded f32 precision); engine="xla" uses jnp.fft (the TPU fast path,
+    +-1 LSB dither only); engine="fourstep" uses the MXU four-step kernel.
+    """
     re = blocks.astype(dtype)
+    if engine == "xla":
+        ctype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
+        X = jnp.fft.fft(re.astype(ctype))
+        y = jnp.fft.ifft(X).real
+        return c_short_jnp(y)
+    if engine == "fourstep":
+        from jeicyboodsp_tpu.kernels.fft_pallas import fft_four_step
+
+        im0 = jnp.zeros_like(re)
+        Xr, Xi = fft_four_step(re, im0, BLOCK_LEN, forward=True, dtype=dtype)
+        yr, _ = fft_four_step(Xr, Xi, BLOCK_LEN, forward=False, dtype=dtype)
+        return c_short_jnp(yr / float(BLOCK_LEN))
     im = jnp.zeros_like(re)
     Xr, Xi = fft_radix2(re, im, forward=True, n=BLOCK_LEN, dtype=dtype)
     yr, _ = fft_radix2(Xr, Xi, forward=False, n=BLOCK_LEN, dtype=dtype)

@@ -126,9 +126,11 @@ def fastconv_sharded(blocks, Hr, Hi, mesh, dtype=jnp.float64, axis: str = "time"
         # zero the warm-up blocks (global t < 7) before they enter any segment
         local_eff = jnp.where((gidx >= FC.WARMUP_BLOCKS)[:, None], local, 0)
         halo = left_halo(local_eff, FC.WARMUP_BLOCKS, axis)  # (7, 1024)
-        flat = jnp.concatenate([halo, local_eff], axis=0).reshape(-1).astype(dtype)
-        starts = jnp.arange(Tl) * FC.BLOCK_SIZE
-        segs = flat[starts[:, None] + jnp.arange(FC.FFT_SIZE)[None, :]]
+        ext = jnp.concatenate([halo, local_eff], axis=0).astype(dtype)  # (Tl+7, 1024)
+        # segments from static slices (segment t = blocks t..t+7), no gather
+        segs = jnp.concatenate(
+            [ext[i : i + Tl] for i in range(FC.WARMUP_BLOCKS + 1)], axis=1
+        )
         ctype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
         y = jnp.fft.ifft(jnp.fft.fft(segs.astype(ctype)) * (Hr + 1j * Hi).astype(ctype)).real
         out = c_short_jnp(y[:, FC.FILTER_LENGTH - 1 :])
