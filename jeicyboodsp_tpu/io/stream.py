@@ -14,6 +14,64 @@ import numpy as np
 from jeicyboodsp_tpu.models.serialization import load_pytree, save_pytree
 
 
+class GEQSession:
+    """Streaming compat GEQ (native bit-exact kernel) with resume."""
+
+    def __init__(self, gains_db=None):
+        from jeicyboodsp_tpu.oracle.geq import GAINS_DB, calc_coefficients
+
+        self._b, self._a = calc_coefficients(gains_db=gains_db or GAINS_DB)
+        self.keep_in = np.zeros((7, 2), np.int16)
+        self.keep_out = np.zeros((7, 2), np.int16)
+
+    def process(self, x: np.ndarray) -> np.ndarray:
+        from jeicyboodsp_tpu import native
+
+        return native.geq_process(np.asarray(x, np.int16), self._b, self._a, self.keep_in, self.keep_out)
+
+    def checkpoint(self, path: str) -> None:
+        np.savez(path, keep_in=self.keep_in, keep_out=self.keep_out)
+
+    def restore(self, path: str) -> None:
+        d = np.load(path)
+        self.keep_in = d["keep_in"].copy()
+        self.keep_out = d["keep_out"].copy()
+
+
+class AECSession:
+    """Streaming compat NLMS/BNLMS (native bit-exact kernels) with resume."""
+
+    def __init__(self, variant: str = "nlms"):
+        self.variant = variant
+        if variant == "nlms":
+            self.coeff = np.zeros(256, np.float64)
+            self.keep = np.zeros(255, np.int16)
+        else:
+            self.coeff = np.zeros(128, np.float64)
+            self.keep = np.zeros(127, np.int16)
+            self.keep_ref = np.zeros(127, np.int16)
+
+    def process(self, x: np.ndarray, ref: np.ndarray):
+        from jeicyboodsp_tpu import native
+
+        if self.variant == "nlms":
+            return native.nlms_process(x, ref, self.coeff, self.keep)
+        return native.bnlms_process(x, ref, self.coeff, self.keep, self.keep_ref)
+
+    def checkpoint(self, path: str) -> None:
+        state = {"coeff": self.coeff, "keep": self.keep}
+        if self.variant != "nlms":
+            state["keep_ref"] = self.keep_ref
+        np.savez(path, **state)
+
+    def restore(self, path: str) -> None:
+        d = np.load(path)
+        self.coeff = d["coeff"].copy()
+        self.keep = d["keep"].copy()
+        if self.variant != "nlms":
+            self.keep_ref = d["keep_ref"].copy()
+
+
 class EnhanceSession:
     """Chunked Wiener / spectral-subtraction streaming with resume."""
 

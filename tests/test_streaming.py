@@ -70,3 +70,39 @@ def test_checked_guard():
         raise AssertionError("should have raised")
     except FloatingPointError:
         pass
+
+
+def test_geq_session_checkpoint(rng, tmp_path):
+    from jeicyboodsp_tpu.io.stream import GEQSession
+    from jeicyboodsp_tpu.oracle import geq as og
+
+    x = np.clip(rng.normal(0, 3000, 2048), -32768, 32767).astype(np.int16)
+    s = GEQSession()
+    y1 = s.process(x[:1024])
+    s.checkpoint(str(tmp_path / "geq.npz"))
+    y2 = s.process(x[1024:])
+    np.testing.assert_array_equal(np.concatenate([y1, y2]), og.run(x))
+    s2 = GEQSession()
+    s2.restore(str(tmp_path / "geq.npz"))
+    np.testing.assert_array_equal(s2.process(x[1024:]), y2)
+
+
+def test_aec_session_checkpoint(rng, tmp_path):
+    from jeicyboodsp_tpu.io.stream import AECSession
+    from jeicyboodsp_tpu.oracle import nlms as onl
+
+    n = 1024 * 3
+    x = np.clip(rng.normal(0, 3000, n), -32768, 32767).astype(np.int16)
+    h = rng.normal(0, 0.1, 16)
+    h[0] = 0.5
+    ref = np.clip(np.convolve(x.astype(np.float64), h)[:n], -32768, 32767).astype(np.int16)
+    s = AECSession("nlms")
+    e1, r1 = s.process(x[:1024], ref[:1024])
+    s.checkpoint(str(tmp_path / "aec.npz"))
+    e2, r2 = s.process(x[1024:], ref[1024:])
+    oe, oerr = onl.run_nlms(x, ref)  # oracle drops block 1
+    np.testing.assert_array_equal(np.concatenate([e1, e2])[1024:], oe)
+    s2 = AECSession("nlms")
+    s2.restore(str(tmp_path / "aec.npz"))
+    e2b, _ = s2.process(x[1024:], ref[1024:])
+    np.testing.assert_array_equal(e2, e2b)
