@@ -208,6 +208,18 @@ def train_classes_batched(frames, masks, iterations=EM_ITERATIONS):
     return jax.vmap(one)(frames, masks)
 
 
+@jax.jit
+def score_frames_all_classes(frames, alphas, means, covs, eigvecs):
+    """Score one utterance against ALL classes at once.
+
+    frames (N, 12); model arrays stacked over classes (C, ...).  Returns
+    (C,) length-normalized log likelihoods -- argmax is the prediction.
+    """
+    return jax.vmap(lambda a, m, c, e: score_frames(frames, a, m, c, e))(
+        alphas, means, covs, eigvecs
+    )
+
+
 def train_class(files: list[np.ndarray], dtype=jnp.float64):
     """Host-level per-class training over a list of feature arrays,
     mirroring the reference's file loop.  Returns PCA-exported params."""

@@ -170,3 +170,22 @@ def test_batched_multiclass_training_matches_per_class():
         np.testing.assert_allclose(
             np.asarray(m_b)[i][:, :4], np.asarray(m)[:, :4], rtol=1e-4, atol=1e-4
         )
+
+
+def test_score_all_classes_matches_loop():
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(37)
+    models = []
+    for _ in range(3):
+        c = rng.normal(0, 6, (4, 12))
+        params = mgmm.train_class([_class_data(rng, 120, c)])
+        a, m, cv, e8 = (np.asarray(x) for x in params)
+        models.append(ser.train_to_test_params(a, m, cv, e8))
+    frames = _class_data(rng, 40)
+    loop = [float(mgmm.score_frames(frames, *mdl)) for mdl in models]
+    stacked = [np.stack([m[i] for m in models]) for i in range(4)]
+    batched = np.asarray(
+        mgmm.score_frames_all_classes(jnp.asarray(frames), *(jnp.asarray(s) for s in stacked))
+    )
+    np.testing.assert_allclose(batched, loop, rtol=1e-12)
