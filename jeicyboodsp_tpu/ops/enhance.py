@@ -53,7 +53,8 @@ def vad_flags(blocks, dtype=jnp.float64):
     s = c_short_jnp(x * w).astype(dtype)  # truncated windowed samples
     energy = jnp.sum(s * s, axis=-1) / FFT_SIZE
     nxt = jnp.concatenate(  # raw next sample; last pairs with OOB -> 0
-        [blocks[:, 1:].astype(dtype), jnp.zeros((blocks.shape[0], 1), dtype)], axis=-1
+        [blocks[..., 1:].astype(dtype), jnp.zeros(blocks.shape[:-1] + (1,), dtype)],
+        axis=-1,
     )
     zcr = jnp.sum((s * nxt) < 0, axis=-1)
     return (energy > THRESHOLD_OF_ENERGY) | (zcr < THRESHOLD_OF_ZCR)
@@ -93,14 +94,16 @@ def noise_affine_combine(l, r):
     """Noise-state monoid: A' = a*A + b ; N' = s ? ah*A + bh : N.
 
     Identity: (1, 0, False, 0, 0).  The LAST latch wins on composition.
+    Scalar elements (a, s, ah) broadcast over any batch dims against the
+    vector elements (b, bh) via a trailing-axis expand.
     """
     al, bl, sl, ahl, bhl = l
     ar, br, sr, ahr, bhr = r
     a_ = ar * al
-    b_ = ar[:, None] * bl + br
+    b_ = ar[..., None] * bl + br
     s_ = sl | sr
     ah_ = jnp.where(sr, ahr * al, ahl)
-    bh_ = jnp.where(sr[:, None], ahr[:, None] * bl + bhr, bhl)
+    bh_ = jnp.where(sr[..., None], ahr[..., None] * bl + bhr, bhl)
     return a_, b_, s_, ah_, bh_
 
 
@@ -110,16 +113,18 @@ def noise_affine_elements(speech, cnt, mags):
     noise = ~speech
     run = (cnt >= 2) & noise
     a = jnp.where(run, jnp.where(cnt >= 3, 0.5, 1.0), 1.0).astype(dtype)
-    b = jnp.where(run[:, None], jnp.where(cnt[:, None] >= 3, 0.5, 1.0) * mags, 0.0).astype(dtype)
+    b = jnp.where(
+        run[..., None], jnp.where(cnt[..., None] >= 3, 0.5, 1.0) * mags, 0.0
+    ).astype(dtype)
     s = run & (cnt == NOISE_FRAMES)
     ah = jnp.where(s, a, 0.0)
-    bh = jnp.where(s[:, None], b, 0.0)
+    bh = jnp.where(s[..., None], b, 0.0)
     return a, b, s, ah, bh
 
 
 def latched_from_composed(s_, bh_):
     """N_t given zero initial state: latched value or zeros."""
-    return jnp.where(s_[:, None], bh_, jnp.zeros_like(bh_))
+    return jnp.where(s_[..., None], bh_, jnp.zeros_like(bh_))
 
 
 def _noise_assoc_scan(speech, mags):

@@ -46,7 +46,7 @@ def left_halo(x, width: int, axis_name: str, fill=0):
     return ext[-width:]
 
 
-def sharded_associative_scan(combine, elems, axis_name: str, identity):
+def sharded_associative_scan(combine, elems, axis_name: str, identity, varying_axes=None):
     """Exact inclusive scan over a block-sharded leading axis.
 
     combine: monoid combine over pytrees with leading (batch) axis -- the
@@ -65,8 +65,9 @@ def sharded_associative_scan(combine, elems, axis_name: str, identity):
 
     idx = jax.lax.axis_index(axis_name)
     n = jax.lax.axis_size(axis_name)
+    vaxes = tuple(varying_axes) if varying_axes is not None else (axis_name,)
     ident = jax.tree_util.tree_map(
-        lambda a: jax.lax.pvary(jnp.asarray(a)[None], (axis_name,)), identity
+        lambda a: jax.lax.pvary(jnp.asarray(a)[None], vaxes), identity
     )
 
     def fold(i, acc):

@@ -106,6 +106,86 @@ def enhance_sharded(blocks, mesh, mode: str = "wiener", dtype=jnp.float64, axis:
     return run(blocks)
 
 
+def enhance_sharded2d(
+    blocks,
+    mesh,
+    mode: str = "wiener",
+    dtype=jnp.float32,
+    batch_axis: str = "data",
+    time_axis: str = "time",
+):
+    """(B, T, 512) int16 over a 2-D (data x time) mesh -> (out, write_mask).
+
+    The production serving form: independent streams shard over the data
+    axis (no communication), each stream's time axis shards as in
+    :func:`enhance_sharded` (ppermute halos + prefix scans over `time_axis`).
+    Exactly equals per-stream enhance_blocks (tests).
+    """
+    Bn, T = blocks.shape[0], blocks.shape[1]
+    assert Bn % mesh.shape[batch_axis] == 0 and T % mesh.shape[time_axis] == 0
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=P(batch_axis, time_axis, None),
+        out_specs=(P(batch_axis, time_axis, None), P(batch_axis, time_axis)),
+    )
+    def run(local):  # (B_loc, Tl, 512)
+        local = jnp.swapaxes(local, 0, 1)  # (Tl, B_loc, 512): time leads
+        Tl = local.shape[0]
+        idx = jax.lax.axis_index(time_axis)
+        gidx = idx * Tl + jnp.arange(Tl)
+
+        halo2 = left_halo(local, 2, time_axis)  # (2, B_loc, 512)
+        ext = jnp.concatenate([halo2, local], axis=0)
+
+        frames = jnp.concatenate([ext[1:-1], ext[2:]], axis=-1)  # (Tl, B, 1024)
+        X = E.frame_transform(frames, dtype)
+        mags = jnp.abs(X)
+        speech = E.vad_flags(local, dtype)  # (Tl, B)
+        noise = ~speech
+
+        (cnt, _), _ = sharded_associative_scan(
+            E.runlen_combine,
+            (noise.astype(jnp.int32), noise),
+            time_axis,
+            (jnp.zeros(noise.shape[1:], jnp.int32), jnp.ones(noise.shape[1:], bool)),
+            varying_axes=(batch_axis, time_axis),
+        )
+        elems = E.noise_affine_elements(speech, cnt, mags)
+        nb = mags.shape[-1]
+        Bl = noise.shape[1]
+        ident = (
+            jnp.ones((Bl,), dtype),
+            jnp.zeros((Bl, nb), dtype),
+            jnp.zeros((Bl,), bool),
+            jnp.zeros((Bl,), dtype),
+            jnp.zeros((Bl, nb), dtype),
+        )
+        (a_, b_, s_, ah_, bh_), (pa, pb, ps, pah, pbh) = sharded_associative_scan(
+            E.noise_affine_combine, elems, time_axis, ident,
+            varying_axes=(batch_axis, time_axis),
+        )
+        ns = E.latched_from_composed(s_, bh_)
+        y = E.gain_and_resynth(X, ns, mode)
+
+        lead_frame = jnp.concatenate([ext[0], ext[1]], axis=-1)[None]  # (1, B, 1024)
+        X_lead = E.frame_transform(lead_frame, dtype)
+        ns_lead = E.latched_from_composed(ps, pbh)
+        y_lead = E.gain_and_resynth(X_lead, ns_lead, mode)
+
+        head = y[..., : E.BLOCK_LEN]
+        tails = jnp.concatenate([y_lead[..., E.BLOCK_LEN :], y[:-1, :, E.BLOCK_LEN :]], axis=0)
+        valid = (gidx >= 1)[:, None, None]
+        use_tail = (gidx >= 2)[:, None, None]
+        ola = jnp.where(valid, head + jnp.where(use_tail, tails, 0.0), 0.0)
+        out = jnp.where(use_tail, c_short_jnp(ola), 0)
+        mask = jnp.broadcast_to((gidx >= 2)[:, None], (Tl, Bl))
+        return jnp.swapaxes(out, 0, 1), jnp.swapaxes(mask, 0, 1)
+
+    return run(blocks)
+
+
 def fastconv_sharded(blocks, Hr, Hi, mesh, dtype=jnp.float64, axis: str = "time"):
     """(T, 1024) int16 -> (T, 1024) int16 out + mask (t >= 7).
 

@@ -98,3 +98,21 @@ def test_em_step_sharded_matches_local():
     )
     for w, g in zip(want, got):
         np.testing.assert_allclose(np.asarray(w), np.asarray(g), rtol=1e-10, atol=1e-12)
+
+
+def test_enhance_sharded2d_exact(rng):
+    """(B, T) streams over a (data=2, time=4) mesh == per-stream batch op."""
+    B, T = 4, 32
+    xs = []
+    for bi in range(B):
+        n = T * 512
+        t = np.arange(n) / 16000
+        speech = 5000 * np.sin(2 * np.pi * (200 + 100 * bi) * t) * (t > 0.3 + 0.1 * bi)
+        xs.append(np.clip(speech + rng.normal(0, 20, n), -32768, 32767).astype(np.int16))
+    blocks = jnp.asarray(np.stack([x.reshape(T, 512) for x in xs]))
+    mesh = make_mesh((2, 4), ("data", "time"))
+    got, gmask = S.enhance_sharded2d(blocks, mesh, dtype=jnp.float64)
+    for bi in range(B):
+        want, wmask = E.enhance_blocks(blocks[bi], mode="wiener", dtype=jnp.float64)
+        np.testing.assert_array_equal(np.asarray(wmask), np.asarray(gmask)[bi][:, 0] if np.asarray(gmask)[bi].ndim > 1 else np.asarray(gmask)[bi])
+        _assert_lsb_equal(np.asarray(want), np.asarray(got)[bi])
