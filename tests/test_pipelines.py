@@ -71,3 +71,15 @@ def test_mfcc_gmm_chain(tmp_path):
     results = run_pipeline("gmm-test", train_list, model, emulate_layout_mismatch=False)
     for ci, pred, _ in results:
         assert pred == ci, results
+
+
+def test_cli_main(tmp_path, rng):
+    """argparse entry point end to end (forced CPU)."""
+    from jeicyboodsp_tpu.cli import main
+
+    x = np.clip(rng.normal(0, 2000, 1536), -32768, 32767).astype(np.int16)
+    inp, out = str(tmp_path / "in.wav"), str(tmp_path / "out.pcm")
+    write_wav(inp, x, 48000)
+    assert main(["geq", inp, out, "--cpu"]) == 0
+    assert len(read_pcm16(out)) == 1536
+    assert main(["nope", inp, out]) == 2
