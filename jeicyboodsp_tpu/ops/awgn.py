@@ -15,7 +15,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from jeicyboodsp_tpu.utils.cnum import c_short_jnp
 

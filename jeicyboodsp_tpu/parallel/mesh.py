@@ -18,6 +18,23 @@ import numpy as np
 from jax.sharding import Mesh
 
 
+def init_distributed(coordinator: str | None = None, num_processes: int | None = None, process_id: int | None = None):
+    """Initialize multi-host JAX (DCN) when running on a pod slice.
+
+    On a single host this is a no-op.  Call before any jax API on each host:
+    afterwards ``jax.devices()`` spans the slice and ``make_mesh`` builds
+    pod-wide meshes (data/time axes laid out so halo ppermutes ride ICI
+    within a host's chips and only the chunk boundaries cross DCN).
+    """
+    if coordinator is None:
+        return  # single-host
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
 def make_mesh(shape=None, axis_names=("data", "time"), devices=None):
     """Build a Mesh over the available devices.
 
