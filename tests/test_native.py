@@ -67,3 +67,29 @@ def test_bnlms_native_exact():
     est, err = native.bnlms_process(x, ref, coeff, ki, kr)
     np.testing.assert_array_equal(est[1024:], oe)
     np.testing.assert_array_equal(err[1024:], oerr)
+
+
+def test_native_stream_runner(tmp_path, rng):
+    """Standalone C++ runner (no Python in the data path) == oracle."""
+    import os
+    import subprocess
+
+    from jeicyboodsp_tpu.io.wav import read_pcm16, write_wav
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    runner = os.path.join(root, "native", "build", "jeicyboo_stream")
+    if not os.path.exists(runner):
+        subprocess.run(
+            [
+                "g++", "-O2", "-ffp-contract=off", "-o", runner,
+                os.path.join(root, "native", "jeicyboo_stream.cpp"),
+                os.path.join(root, "native", "jeicyboo_native.cpp"), "-lm",
+            ],
+            check=True,
+            timeout=120,
+        )
+    x = np.clip(rng.normal(0, 3000, 4096), -32768, 32767).astype(np.int16)
+    inp, out = str(tmp_path / "in.wav"), str(tmp_path / "out.pcm")
+    write_wav(inp, x, 48000)
+    subprocess.run([runner, "geq", inp, out, "--skip-header"], check=True, timeout=60)
+    np.testing.assert_array_equal(read_pcm16(out), og.run(x))

@@ -187,3 +187,28 @@ def test_mfcc_binary_close(tmp_path, rng):
 
     got = mfcc.run(x)[: len(want)]
     np.testing.assert_allclose(got, want, rtol=1e-7, atol=1e-9)
+
+
+def test_geq_wrap_stress_binary_exact(tmp_path, rng):
+    """Full-scale random input drives the int16 wrap path (+12dB boosts
+    overflow); oracle must still match the binary byte-for-byte."""
+    x = rng.integers(-32768, 32768, 48000, dtype=np.int64).astype(np.int16)
+    inp, out = str(tmp_path / "in.wav"), str(tmp_path / "out.pcm")
+    write_wav(inp, x, 48000)
+    _run(_bin("geq"), inp, out)
+    from jeicyboodsp_tpu.oracle import geq
+
+    np.testing.assert_array_equal(read_pcm16(out), geq.run(x))
+
+
+def test_enhance_silence_nan_path_binary_exact(tmp_path):
+    """All-zero input: the Wiener gain hits the 0/0 NaN path every bin and
+    the output quantizes to zeros -- byte-equal to the binary."""
+    x = np.zeros(512 * 6, np.int16)
+    inp, out = str(tmp_path / "in.pcm"), str(tmp_path / "out.pcm")
+    write_pcm16(inp, x)
+    _run(_bin("wiener"), inp, out)
+    from jeicyboodsp_tpu.oracle import enhance
+
+    np.testing.assert_array_equal(read_pcm16(out), enhance.run(x, "wiener"))
+    assert (read_pcm16(out) == 0).all()
