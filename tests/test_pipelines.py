@@ -83,3 +83,38 @@ def test_cli_main(tmp_path, rng):
     assert main(["geq", inp, out, "--cpu"]) == 0
     assert len(read_pcm16(out)) == 1536
     assert main(["nope", inp, out]) == 2
+
+
+def test_speech_e2e_single_jit():
+    """Audio in -> trained GMMs -> classification + HMM decode, all on
+    device (no feature files)."""
+    import jax.numpy as jnp
+
+    from jeicyboodsp_tpu.pipelines.speech import speech_classify, speech_decode, speech_train
+
+    rng = np.random.default_rng(5)
+    fs, T, C = 16000, 24, 3
+    audio = np.zeros((C, T, 1024), np.int16)
+    for c in range(C):
+        t = np.arange(T * 1024) / fs
+        f0 = 250.0 * (c + 1)
+        f = f0 * (1 + 0.2 * np.sin(2 * np.pi * 1.3 * t))
+        amp = 6000 * (0.6 + 0.4 * np.sin(2 * np.pi * 2.1 * t) ** 2)
+        x = np.clip(amp * np.sin(2 * np.pi * np.cumsum(f) / fs) + rng.normal(0, 400, len(t)), -32768, 32767)
+        audio[c] = x.astype(np.int16).reshape(T, 1024)
+
+    alpha, mean, cov, e8 = speech_train(jnp.asarray(audio), dtype=jnp.float64)
+    e4 = e8[:, :, :, :4]
+    for c in range(C):
+        scores = np.asarray(speech_classify(jnp.asarray(audio[c]), alpha, mean, cov, e4, dtype=jnp.float64))
+        assert int(np.argmax(scores)) == c, (c, scores)
+
+    # HMM decode with states built from the trained class GMMs
+    trans = jnp.asarray(np.full((6, 6), 1.0 / 6))
+    sel = np.array([0, 1, 2, 0, 1, 2])
+    path, score = speech_decode(
+        jnp.asarray(audio[1]),
+        alpha[sel], mean[sel], cov[sel], e4[sel], trans, dtype=jnp.float64, compat=False,
+    )
+    # class-1 states are 1 and 4; the corrected decoder should sit in them
+    assert np.isin(np.asarray(path), [1, 4]).mean() > 0.9, np.asarray(path)
