@@ -43,3 +43,16 @@ def test_all_speech_input_is_zero_output(rng):
     loud = np.clip(20000 * np.sin(2 * np.pi * 500 * t), -32768, 32767).astype(np.int16)
     out = jmv.run_stream(loud, loud)
     assert np.all(out == 0)
+
+
+def test_nonzero_steering_delay_matches_oracle(rng, snr):
+    """The reference hardcodes angle 0 (dTime=0); the framework exposes the
+    general steering path -- verify op == oracle for a nonzero delay."""
+    from jeicyboodsp_tpu.ops.mvdr import steering_delay
+
+    xl, xr = _stereo(rng, 512 * 10)
+    dt = steering_delay(0.3)
+    want = omv.run(xl, xr, d_time=dt)
+    got = jmv.run_stream(xl, xr, d_time=dt)
+    d = want.astype(int) - got.astype(int)
+    assert np.abs(d).max() <= 1 and (d != 0).mean() < 0.01
