@@ -134,6 +134,32 @@ def geq_apply_fast(x, b, a, dtype=jnp.float32):
     return y
 
 
+def run_pallas_quant(x, gains_db=GAINS_DB, compat=True, interpret=False):
+    """Whole-signal compat-mode GEQ on the TPU Pallas df32 kernel.
+
+    Matches oracle.geq.run() bit-exactly (double-single arithmetic makes the
+    f64 truncate-to-int16 feedback boundaries reproducible on f32-only TPU
+    hardware; see kernels.biquad_pallas).  Output length is rounded up to a
+    512 multiple with the reference's stale-tail fread semantics."""
+    from jeicyboodsp_tpu.kernels import biquad_pallas as bq
+
+    b, a = geq_coefficients(gains_db=gains_db, compat=compat)
+    coef = bq.pack_coefficients_df(b, a)
+    xx = np.asarray(x, np.int16)
+    if len(xx) == 0:  # reference emits nothing on an empty payload
+        return np.zeros(0, np.int16)
+    n_full, rem = divmod(len(xx), BLOCK_LEN)
+    if rem:
+        prev = (
+            xx[(n_full - 1) * BLOCK_LEN : n_full * BLOCK_LEN]
+            if n_full
+            else np.zeros(BLOCK_LEN, np.int16)
+        )
+        xx = np.concatenate([xx, prev[rem:]])
+    y, _ = bq.geq_cascade_pallas_quant(jnp.asarray(xx[None]), coef, interpret=interpret)
+    return np.asarray(y)[0].astype(np.int16)
+
+
 def stream_blocks(x, gains_db=GAINS_DB, compat=True, dtype=jnp.float64, use_native=True):
     """Host-level convenience: run a whole signal block-by-block (512) and
     return the concatenated int16 output, matching oracle.geq.run().

@@ -66,9 +66,12 @@ def sharded_associative_scan(combine, elems, axis_name: str, identity, varying_a
     idx = jax.lax.axis_index(axis_name)
     n = jax.lax.axis_size(axis_name)
     vaxes = tuple(varying_axes) if varying_axes is not None else (axis_name,)
-    ident = jax.tree_util.tree_map(
-        lambda a: jax.lax.pvary(jnp.asarray(a)[None], vaxes), identity
-    )
+    _pvary = getattr(jax.lax, "pcast", None)
+    if _pvary is not None:
+        mark_varying = lambda a: _pvary(jnp.asarray(a)[None], vaxes, to="varying")
+    else:  # older jax
+        mark_varying = lambda a: jax.lax.pvary(jnp.asarray(a)[None], vaxes)
+    ident = jax.tree_util.tree_map(mark_varying, identity)
 
     def fold(i, acc):
         elem_i = jax.tree_util.tree_map(lambda a: a[i][None], gathered)

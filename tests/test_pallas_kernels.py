@@ -17,6 +17,55 @@ def test_biquad_cascade_matches_fast_mode(rng, snr):
     assert snr(want, got) >= 55.0, snr(want, got)  # f32 kernel vs f64 scan
 
 
+def test_biquad_quant_cascade_bit_exact_vs_oracle(rng):
+    """df32 quantized-feedback kernel reproduces the f64 oracle bit-exactly,
+    including through int16 wraps (the +12 dB bands overflow full-scale)."""
+    from jeicyboodsp_tpu.oracle import geq as ogeq
+
+    n = 4096
+    t = np.arange(n) / 48000.0
+    sig = (
+        (8000 * np.sin(2 * np.pi * 440 * t) + 4000 * np.sin(2 * np.pi * 3000 * t)
+         + rng.normal(0, 500, n))
+        .clip(-32768, 32767)
+        .astype(np.int16)
+    )
+    stress = rng.integers(-32768, 32768, n).astype(np.int16)  # wrap-stress
+    b, a = jgeq.geq_coefficients()
+    coef = bq.pack_coefficients_df(b, a)
+    for x in (sig, stress):
+        ref = ogeq.run(x)
+        y, _ = bq.geq_cascade_pallas_quant(jnp.asarray(x[None]), coef, interpret=True)
+        got = np.asarray(y)[0].astype(np.int64)
+        assert (got == ref.astype(np.int64)).all()
+
+
+def test_biquad_quant_state_threading(rng):
+    """Two chained kernel calls (state in/out) == one whole-signal call."""
+    from jeicyboodsp_tpu.oracle import geq as ogeq
+
+    n = 2048
+    sig = rng.integers(-20000, 20000, n).astype(np.int16)
+    ref = ogeq.run(sig)
+    b, a = jgeq.geq_coefficients()
+    coef = bq.pack_coefficients_df(b, a)
+    y1, s1 = bq.geq_cascade_pallas_quant(jnp.asarray(sig[None, : n // 2]), coef, interpret=True)
+    y2, _ = bq.geq_cascade_pallas_quant(
+        jnp.asarray(sig[None, n // 2 :]), coef, state=s1, interpret=True
+    )
+    got = np.concatenate([np.asarray(y1)[0], np.asarray(y2)[0]]).astype(np.int64)
+    assert (got == ref.astype(np.int64)).all()
+
+
+def test_geq_run_pallas_quant_matches_oracle(rng):
+    from jeicyboodsp_tpu.oracle import geq as ogeq
+
+    sig = rng.integers(-32768, 32768, 1200).astype(np.int16)  # partial block
+    ref = ogeq.run(sig)
+    got = jgeq.run_pallas_quant(sig, interpret=True)
+    assert (got.astype(np.int64) == ref.astype(np.int64)).all()
+
+
 def test_four_step_fft_matches_numpy(rng):
     from jeicyboodsp_tpu.kernels.fft_pallas import fft_four_step, fft_pallas
     import jax.numpy as jnp
