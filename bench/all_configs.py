@@ -123,10 +123,29 @@ def main(groups=None):
     fast = np.asarray(geq_cascade_pallas(jnp.asarray(xq[None].astype(np.float32)), coef))[0]
     write_wav("/tmp/b_geq.wav", mixed_signal(48000 * 60, 48000), 48000)
     base = cpp_sps("geq", lambda: (["/tmp/b_geq.wav", "/tmp/b_geq_out.pcm"], None), 48000 * 60)
+
+    # quantized-feedback df32 kernel: bit-exact compat ON TPU
+    from jeicyboodsp_tpu.kernels.biquad_pallas import (
+        geq_cascade_pallas_quant,
+        pack_coefficients_df,
+    )
+
+    coef_df = jnp.asarray(pack_coefficients_df(b, a))
+
+    @partial(jax.jit, static_argnames=("n",))
+    def geq_chain_q(x0, n):
+        return jax.lax.fori_loop(
+            0, n, lambda i, acc: geq_cascade_pallas_quant(acc, coef_df)[0], x0
+        )
+
+    per_q = amortized(lambda k: jax.device_get(geq_chain_q(xg, k).sum()))
+    got_q = np.asarray(geq_cascade_pallas_quant(jnp.asarray(xq[None]), coef_df)[0])[0]
     results["geq"] = {
         "tpu_sps": B * Tg / per,
+        "tpu_sps_quant_compat": B * Tg / per_q,
         "cpp_sps": base,
         "snr_db_fast_vs_ref": snr_db(want, np.trunc(fast)),
+        "quant_kernel_exact": bool((got_q.astype(np.int64) == want.astype(np.int64)).all()),
         "compat_exact": True,  # native kernel, asserted in tests
     }
 

@@ -89,10 +89,14 @@ def bnlms_init_state(dtype=jnp.float64):
 
 
 def _toeplitz_windows(u, taps):
-    """(N + taps - 1,) -> (N, taps) sliding windows u[i..i+taps-1]."""
+    """(N + taps - 1,) -> (N, taps) sliding windows u[i..i+taps-1].
+
+    Built from `taps` STATIC slices (one per column) rather than a gather:
+    TPU lowers the (N, taps) gather into serialized dynamic fetches, while
+    static slices are pure data movement that XLA fuses (same fix as the
+    MFCC framing path)."""
     n = u.shape[0] - taps + 1
-    idx = jnp.arange(n)[:, None] + jnp.arange(taps)[None, :]
-    return u[idx]
+    return jnp.stack([jax.lax.slice_in_dim(u, k, k + n) for k in range(taps)], axis=1)
 
 
 def _double_talk(u, r, dtype):
