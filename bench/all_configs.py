@@ -364,6 +364,49 @@ def main(groups=None):
     base = cpp_sps("pitch1", lambda: (["/tmp/b_p.wav"], None), fs * 60)
     results["pitch1"] = {"tpu_sps": Tp * 512 / per, "cpp_sps": base}
 
+    # ---------------- per-sample NLMS (Pallas, 1024 streams) ----------------
+    from jeicyboodsp_tpu.kernels.nlms_pallas import nlms_pallas
+    from jeicyboodsp_tpu.oracle import nlms as onl
+
+    Bn, Tn = 1024, 65536
+    xn = jnp.asarray(rng.integers(-3000, 3000, (Bn, Tn)).astype(np.int16))
+    rn = jnp.asarray(rng.integers(-3000, 3000, (Bn, Tn)).astype(np.int16))
+
+    @partial(jax.jit, static_argnames=("k",))
+    def nl_chain(xx, rr, k):
+        def body(i, acc):
+            e1, _ = nlms_pallas(acc, rr)
+            return acc + (e1 & 1)
+
+        return jax.lax.fori_loop(0, k, body, xx)
+
+    per = amortized(lambda k: jax.device_get(nl_chain(xn, rn, k)[0, :4]))
+    # exactness probe vs the f64 oracle (df32 coefficient state)
+    npr = 8192
+    xo = np.asarray(xn[0, :npr])
+    h = rng.normal(0, 0.1, 32)
+    h[0] = 0.5
+    ro = np.clip(np.convolve(xo.astype(np.float64), h)[:npr], -32768, 32767).astype(np.int16)
+    st = onl.NLMSState()
+    oe = np.concatenate(
+        [onl.nlms_block(st, xo[i : i + 1024], ro[i : i + 1024])[0] for i in range(0, npr, 1024)]
+    )
+    ge = np.asarray(nlms_pallas(jnp.asarray(xo[None]), jnp.asarray(ro[None]))[0])[0]
+    # baseline: input header skipped, reference not (NormalLMS.cpp:65-66)
+    reps = fs * 10 // npr + 1
+    write_wav("/tmp/b_nlms_in.wav", np.tile(xo, reps)[: fs * 10], fs)
+    write_pcm16("/tmp/b_nlms_ref.pcm", np.tile(ro, reps)[: fs * 10])
+    base = cpp_sps(
+        "nlms",
+        lambda: (["/tmp/b_nlms_in.wav", "/tmp/b_nlms_ref.pcm", "/tmp/b_nl_e.pcm", "/tmp/b_nl_r.pcm"], None),
+        fs * 10,
+    )
+    results["nlms_pallas"] = {
+        "tpu_sps": Bn * Tn / per,
+        "cpp_sps": base,
+        "kernel_exact_vs_oracle": bool((ge.astype(np.int64) == oe.astype(np.int64)).all()),
+    }
+
     # ---------------- report ----------------
     for k, v in results.items():
         if v.get("cpp_sps"):

@@ -39,13 +39,24 @@ def _c_short_f32(v):
     return i
 
 
-def _kernel(x_ref, r_ref, est_ref, err_ref, W, V, C):
+def _two_sum(a, b):
+    s = a + b
+    bb = s - a
+    return s, (a - (s - bb)) + (b - bb)
+
+
+def _kernel(x_ref, r_ref, est_ref, err_ref, W, V, C, CL):
     """The reference pairs the coefficients REVERSED in the estimate
     (c[255-j]*u[j+i], NormalLMS.cpp:113) but DIRECT in the update
     (c[j] += ...u[j+i], :125) -- a real quirk.  Keeping the window in both
     age orders (W ascending, V descending) makes both pairings elementwise:
         y = sum(C * V),  C += g * W
-    """
+
+    The coefficient state is double-single (C hi + CL lo): the per-sample
+    update g*w is ~1e-7 of |c| and plain-f32 accumulation swallows it at the
+    ulp (the dominant divergence vs the f64 oracle, measured ~55 dB);
+    two-sum accumulation carries the swallowed bits, leaving only the dot
+    products' own f32 rounding (~100 dB)."""
     t_idx = pl.program_id(1)
 
     @pl.when(t_idx == 0)
@@ -53,6 +64,7 @@ def _kernel(x_ref, r_ref, est_ref, err_ref, W, V, C):
         W[:, :] = jnp.zeros_like(W)
         V[:, :] = jnp.zeros_like(V)
         C[:, :] = jnp.zeros_like(C)
+        CL[:, :] = jnp.zeros_like(CL)
 
     T = x_ref.shape[0]
 
@@ -65,14 +77,21 @@ def _kernel(x_ref, r_ref, est_ref, err_ref, W, V, C):
         w = W[:, :]
         v = V[:, :]
         c = C[:, :]
-        y = jnp.sum(c * v, axis=0)
+        cl = CL[:, :]
+        y = jnp.sum(c * v, axis=0) + jnp.sum(cl * v, axis=0)
         y_s = _c_short_f32(y)
         est_ref[t, :] = y_s
         e = r_ref[t, :] - y_s
         norm = jnp.sum(w * w, axis=0)
         err_ref[t, :] = _c_short_f32(e)
         g = (2.0 * MU) * e / (norm + EPS)
-        C[:, :] = c + g[None, :] * w
+        # df += single: (hi, lo) = two_sum(hi, upd); lo' = lo + err, renorm
+        upd = g[None, :] * w
+        s, err2 = _two_sum(c, upd)
+        err2 = err2 + cl
+        hi = s + err2
+        CL[:, :] = err2 - (hi - s)
+        C[:, :] = hi
         return 0
 
     jax.lax.fori_loop(0, T, step, 0)
@@ -109,6 +128,7 @@ def nlms_pallas(x, ref, interpret: bool = False):
                 pl.BlockSpec((TILE_T, LANES), lambda i, j: (j, i), memory_space=pltpu.VMEM),
             ),
             scratch_shapes=[
+                pltpu.VMEM((TAPS, LANES), jnp.float32),
                 pltpu.VMEM((TAPS, LANES), jnp.float32),
                 pltpu.VMEM((TAPS, LANES), jnp.float32),
                 pltpu.VMEM((TAPS, LANES), jnp.float32),

@@ -100,4 +100,6 @@ def test_nlms_pallas_matches_oracle(rng, snr):
     want_e = np.concatenate([oe1, oe2])
     est, err = nlms_pallas(jnp.asarray(x[None]), jnp.asarray(ref[None]), interpret=True)
     got_e = np.asarray(est)[0]
-    assert snr(want_e, got_e) >= 50.0, snr(want_e, got_e)
+    # double-single coefficient state makes the kernel bit-exact vs the
+    # f64 oracle (plain-f32 coeff accumulation was the ~55 dB error floor)
+    assert (got_e.astype(np.int64) == want_e.astype(np.int64)).all()
