@@ -76,7 +76,15 @@ def main():
     dev = jax.devices()[0]
 
     FAST = dict(
-        mode="wiener", dtype=jnp.float32, use_assoc_scan=True, real_fft=True, resynth="ratio"
+        mode="wiener",
+        dtype=jnp.float32,
+        use_assoc_scan=True,
+        real_fft=True,
+        resynth="ratio",
+        # mxu3 = DFT as 3-pass (bf16x3) matmuls on the systolic array: measured
+        # 2.99 G samples/s @ 84 dB vs 1.66 G @ 104 dB for the XLA VPU FFT;
+        # mxu (6-pass) is slower than xla; mxu1 (1-pass bf16) is 52 dB (<60 target)
+        fft_engine=os.environ.get("BENCH_FFT_ENGINE", "mxu3"),
     )
 
     # --- SNR probe (compat contract, on the exact config being benched) ---

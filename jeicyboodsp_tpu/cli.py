@@ -45,6 +45,10 @@ def main(argv=None):
     if ns.cpu:
         jax.config.update("jax_platforms", "cpu")
     if not ns.fast:
+        # compat mode is f64 (c128 FFTs): TPU backends don't support x64, so
+        # compat pipelines run on the host CPU backend (the reference is a
+        # single-core CPU program; the TPU paths are the --fast f32 engines)
+        jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_enable_x64", True)
 
     from jeicyboodsp_tpu.pipelines import PIPELINES

@@ -143,21 +143,54 @@ def _noise_assoc_scan(speech, mags):
     return latched_from_composed(s_, bh_)
 
 
-def frame_transform(frames, dtype, real_fft: bool = False):
+@functools.lru_cache(maxsize=None)
+def _dft_matrices():
+    """Real-DFT (1024 -> 513 bins) and inverse matrices as numpy f32.
+
+    The 1024-pt transform as two (1024, 513) matmuls rides the MXU
+    (precision=HIGHEST keeps f32 accuracy; TPU bf16 default would cost
+    ~70 dB) and measures ~1.6x faster than the XLA VPU FFT at the chain's
+    batch sizes.
+    """
+    n = FFT_SIZE
+    k = np.arange(n)[:, None] * np.arange(n // 2 + 1)[None, :]
+    ang = -2.0 * np.pi * k / n
+    fwd_re = np.cos(ang).astype(np.float32)
+    fwd_im = np.sin(ang).astype(np.float32)
+    # inverse real FFT: y[t] = (1/N) sum_k w_k (re_k cos - im_k sin)
+    wk = np.full(n // 2 + 1, 2.0)
+    wk[0] = wk[-1] = 1.0
+    inv_re = (wk[:, None] * np.cos(-ang.T) / n).astype(np.float32)
+    inv_im = (wk[:, None] * np.sin(-ang.T) / n).astype(np.float32)
+    return fwd_re, fwd_im, inv_re, inv_im
+
+
+def frame_transform(frames, dtype, real_fft: bool = False, fft_engine: str = "xla"):
     """w * [prev, cur] -> complex spectrum (batched).
 
     ``real_fft`` computes only the 513 non-redundant bins (the input is
     real); mathematically identical, half the bandwidth/compute.
+    ``fft_engine="mxu"`` (f32 + real_fft only) evaluates the DFT as two
+    HIGHEST-precision matmuls on the systolic array.
     """
     w = hamming_ref(FFT_SIZE, dtype)
     windowed = frames.astype(dtype) * w
+    if fft_engine.startswith("mxu"):
+        fwd_re, fwd_im, _, _ = _dft_matrices()
+        hi = {"mxu3": jax.lax.Precision.HIGH, "mxu1": jax.lax.Precision.DEFAULT}.get(
+            fft_engine, jax.lax.Precision.HIGHEST)
+        re = jnp.dot(windowed, jnp.asarray(fwd_re), precision=hi)
+        im = jnp.dot(windowed, jnp.asarray(fwd_im), precision=hi)
+        return jax.lax.complex(re, im)
     if real_fft:
         return jnp.fft.rfft(windowed)
     ctype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
     return jnp.fft.fft(windowed.astype(ctype))
 
 
-def gain_and_resynth(X, ns, mode: str, real_fft: bool = False, resynth: str = "trig"):
+def gain_and_resynth(
+    X, ns, mode: str, real_fft: bool = False, resynth: str = "trig", fft_engine: str = "xla"
+):
     """Per-bin gain with saved phase -> time-domain frame (batched IFFT).
 
     ``resynth="trig"`` reproduces the reference's atan2/cos/sin phase
@@ -183,6 +216,13 @@ def gain_and_resynth(X, ns, mode: str, real_fft: bool = False, resynth: str = "t
     else:
         phase = jnp.arctan2(X.imag, X.real)
         Y = (amp * jnp.cos(phase) + 1j * amp * jnp.sin(phase)).astype(X.dtype)
+    if fft_engine.startswith("mxu"):
+        _, _, inv_re, inv_im = _dft_matrices()
+        hi = {"mxu3": jax.lax.Precision.HIGH, "mxu1": jax.lax.Precision.DEFAULT}.get(
+            fft_engine, jax.lax.Precision.HIGHEST)
+        return jnp.dot(Y.real, jnp.asarray(inv_re), precision=hi) - jnp.dot(
+            Y.imag, jnp.asarray(inv_im), precision=hi
+        )
     if real_fft:
         return jnp.fft.irfft(Y, FFT_SIZE)
     return jnp.fft.ifft(Y).real
@@ -190,7 +230,9 @@ def gain_and_resynth(X, ns, mode: str, real_fft: bool = False, resynth: str = "t
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mode", "dtype", "use_assoc_scan", "emit_all", "real_fft", "resynth"),
+    static_argnames=(
+        "mode", "dtype", "use_assoc_scan", "emit_all", "real_fft", "resynth", "fft_engine",
+    ),
 )
 def enhance_blocks(
     blocks,
@@ -200,6 +242,7 @@ def enhance_blocks(
     emit_all: bool = False,
     real_fft: bool = False,
     resynth: str = "trig",
+    fft_engine: str = "xla",
 ):
     """Run the full chain over (T, 512) int16 blocks.
 
@@ -211,14 +254,18 @@ def enhance_blocks(
     fdtype = dtype
 
     prev = jnp.concatenate([jnp.zeros((1, BLOCK_LEN), blocks.dtype), blocks[:-1]], axis=0)
-    X = frame_transform(jnp.concatenate([prev, blocks], axis=1), fdtype, real_fft=real_fft)
+    X = frame_transform(
+        jnp.concatenate([prev, blocks], axis=1), fdtype, real_fft=real_fft, fft_engine=fft_engine
+    )
     mags = jnp.abs(X)
 
     speech = vad_flags(blocks, fdtype)
     noise_fn = _noise_assoc_scan if use_assoc_scan else _noise_scan
     ns = noise_fn(speech, mags)
 
-    y = gain_and_resynth(X, ns, mode, real_fft=real_fft, resynth=resynth)
+    y = gain_and_resynth(
+        X, ns, mode, real_fft=real_fft, resynth=resynth, fft_engine=fft_engine
+    )
 
     # overlap-add: out[t] = y[t][:512] + y[t-1][512:]; y[t=0] does not exist
     # (first filter call returns before transforming, :174-179)

@@ -66,3 +66,21 @@ def test_fast_config_snr(rng, snr):
     got = np.asarray(out)[np.asarray(mask)].reshape(-1)
     m = min(len(ref), len(got))
     assert snr(ref[:m], got[:m]) >= 60.0, snr(ref[:m], got[:m])
+
+
+def test_mxu_dft_engine_snr(rng, snr):
+    """The MXU matmul-DFT engines keep the compat contract: HIGHEST ('mxu')
+    and 3-pass ('mxu3', the headline-bench default, 84 dB on TPU) both
+    >= 60 dB vs the f64 oracle.  On CPU both lower to plain f32 matmuls."""
+    x = _signal(rng)
+    ref = oenh.run(x, "wiener")
+    T = len(x) // 512
+    blocks = jnp.asarray(x[: T * 512].reshape(T, 512))
+    for eng in ("mxu", "mxu3"):
+        out, mask = jenh.enhance_blocks(
+            blocks, mode="wiener", dtype=jnp.float32, use_assoc_scan=True,
+            real_fft=True, resynth="ratio", fft_engine=eng,
+        )
+        got = np.asarray(out)[np.asarray(mask)].reshape(-1)
+        m = min(len(ref), len(got))
+        assert snr(ref[:m], got[:m]) >= 60.0, (eng, snr(ref[:m], got[:m]))
