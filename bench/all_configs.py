@@ -250,7 +250,7 @@ def main(groups=None):
     def mv_chain(l, r, n):
         def body(i, carry):
             l0, acc = carry
-            out, _ = mvdr_blocks(l0, r, 0.0, dtype=jnp.float32)
+            out, _ = mvdr_blocks(l0, r, 0.0, dtype=jnp.float32, fft_engine="mxu3")
             return l0 + (out & 1).astype(jnp.int16), acc + jnp.sum(out.astype(jnp.int32))
 
         return jax.lax.fori_loop(0, n, body, (l, jnp.int32(0)))[1]
@@ -264,6 +264,7 @@ def main(groups=None):
         jnp.asarray(xr_[: 64 * 512].reshape(-1, 512)),
         0.0,
         dtype=jnp.float32,
+        fft_engine="mxu3",
     )
     got = np.asarray(got)[np.asarray(msk)].reshape(-1)
     write_wav("/tmp/b_mv_l.wav", xl_[: fs * 30], fs)
@@ -290,7 +291,7 @@ def main(groups=None):
     def mf_chain(bk, n):
         def body(i, carry):
             cur, acc = carry
-            feats = mfcc_blocks(cur, mel_m, dct_m, dtype=jnp.float32)
+            feats = mfcc_blocks(cur, mel_m, dct_m, dtype=jnp.float32, fft_engine="mxu3")
             return cur + (feats[0, 0] > acc).astype(jnp.int16), acc + jnp.sum(feats)
 
         return jax.lax.fori_loop(0, n, body, (bk, jnp.float32(0)))[1]
@@ -301,7 +302,12 @@ def main(groups=None):
 
     probe = xf[: 32 * 1024]
     want = omf.run(probe)
-    got = mfcc_run(probe, dtype=jnp.float32)
+    got = np.asarray(
+        mfcc_blocks(
+            jnp.asarray(probe.reshape(-1, 1024)), mel_m, dct_m,
+            dtype=jnp.float32, fft_engine="mxu3",
+        )
+    )[1 : 1 + len(want)].reshape(want.shape)
     open("/tmp/b_mfcc_list.txt", "w").write("/tmp/b_mfcc_in.wav /tmp/b_mfcc_out.mfc\n")
     write_wav("/tmp/b_mfcc_in.wav", xf[: fs * 60], fs)
     base = cpp_sps("mfcc", lambda: (["/tmp/b_mfcc_list.txt"], None), fs * 60)
@@ -354,7 +360,7 @@ def main(groups=None):
     def p_chain(fr, n):
         def body(i, carry):
             cur, acc = carry
-            args, vals, f0 = pitch_frames(cur, method=1, dtype=jnp.float32)
+            args, vals, f0 = pitch_frames(cur, method=1, dtype=jnp.float32, fft_engine="mxu3")
             return cur + (args[0] % 2).astype(jnp.int16), acc + jnp.sum(args)
 
         return jax.lax.fori_loop(0, n, body, (fr, jnp.int32(0)))[1]

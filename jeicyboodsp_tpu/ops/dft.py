@@ -1,0 +1,123 @@
+"""DFTs as MXU matmuls -- the systolic-array FFT engine for small N.
+
+For the framework's 1024-pt transforms, evaluating the DFT as dense
+matmuls on the MXU beats the XLA VPU FFT at bench batch sizes: at
+``precision=HIGH`` (3-pass bf16x3, ~f32 accuracy in the 80-100 dB range)
+the headline enhancement chain measures 1.8x the XLA-FFT engine; at
+``HIGHEST`` (6-pass) accuracy is ~140 dB but the matmuls cost more than
+the FFT.  DEFAULT (1-pass bf16) lands below the 60 dB compat bar -- don't.
+
+All matrices are cached numpy f32 constants, embedded at trace time
+(complex device transfers are unsupported on this backend, so everything
+is carried as separate real/imag planes).
+
+Precision knob convention (shared by the pipeline ``fft_engine`` flags):
+  "mxu"  -> Precision.HIGHEST
+  "mxu3" -> Precision.HIGH      (the headline-bench default)
+  "mxu1" -> Precision.DEFAULT   (below compat target; exposed for studies)
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+PRECISIONS = {
+    "mxu": jax.lax.Precision.HIGHEST,
+    "mxu3": jax.lax.Precision.HIGH,
+    "mxu1": jax.lax.Precision.DEFAULT,
+}
+
+
+def precision_of(fft_engine: str):
+    return PRECISIONS.get(fft_engine, jax.lax.Precision.HIGHEST)
+
+
+@functools.lru_cache(maxsize=None)
+def _rdft_mats(n: int):
+    """Forward real-DFT matrices (n, n//2+1): X_k = x @ (C + iS)."""
+    k = np.arange(n)[:, None] * np.arange(n // 2 + 1)[None, :]
+    ang = -2.0 * np.pi * k / n
+    return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def _irdft_mats(n: int):
+    """Inverse matrices (n//2+1, n) from the non-redundant half-spectrum:
+    y_t = re @ IC - im @ IS, assuming Hermitian symmetry (wk doubling)."""
+    k = np.arange(n // 2 + 1)[:, None] * np.arange(n)[None, :]
+    ang = 2.0 * np.pi * k / n
+    wk = np.full((n // 2 + 1, 1), 2.0)
+    wk[0] = wk[-1] = 1.0
+    ic = (wk * np.cos(ang) / n).astype(np.float32)
+    is_ = (wk * np.sin(ang) / n).astype(np.float32)
+    return ic, is_
+
+
+@functools.lru_cache(maxsize=None)
+def _icdft_real_mats(n: int):
+    """Full-bin inverse, real part only: y = re @ IC - im @ IS, (n, n).
+
+    For spectra that are NOT Hermitian (e.g. MVDR's quirk-merged spectrum)
+    this reproduces ``ifft(X).real`` exactly."""
+    k = np.arange(n)[:, None] * np.arange(n)[None, :]
+    ang = 2.0 * np.pi * k / n
+    return (np.cos(ang) / n).astype(np.float32), (np.sin(ang) / n).astype(np.float32)
+
+
+def rdft(x, precision=jax.lax.Precision.HIGH):
+    """Real (..., n) -> half-spectrum (re, im) each (..., n//2+1)."""
+    n = x.shape[-1]
+    C, S = _rdft_mats(n)
+    re = jnp.dot(x, jnp.asarray(C), precision=precision)
+    im = jnp.dot(x, jnp.asarray(S), precision=precision)
+    return re, im
+
+
+def irdft(re, im, n: int, precision=jax.lax.Precision.HIGH):
+    """Half-spectrum (re, im) (..., n//2+1) -> real (..., n) (irfft)."""
+    IC, IS = _irdft_mats(n)
+    return jnp.dot(re, jnp.asarray(IC), precision=precision) - jnp.dot(
+        im, jnp.asarray(IS), precision=precision
+    )
+
+
+def full_from_half(re, im):
+    """Mirror the non-redundant half-spectrum of a REAL signal to all n bins."""
+    re_f = jnp.concatenate([re, re[..., -2:0:-1]], axis=-1)
+    im_f = jnp.concatenate([im, -im[..., -2:0:-1]], axis=-1)
+    return re_f, im_f
+
+
+def cdft_of_real_full(x, precision=jax.lax.Precision.HIGH):
+    """Real (..., n) -> full n-bin spectrum (re, im): fft(x) for real x."""
+    return full_from_half(*rdft(x, precision=precision))
+
+
+def icdft_real(re, im, precision=jax.lax.Precision.HIGH):
+    """Full-bin (re, im) (..., n) -> ifft(..).real (..., n), no symmetry assumed."""
+    n = re.shape[-1]
+    IC, IS = _icdft_real_mats(n)
+    return jnp.dot(re, jnp.asarray(IC), precision=precision) - jnp.dot(
+        im, jnp.asarray(IS), precision=precision
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _autocorr_mats(n: int, keep: int):
+    """(n//2+1, keep): ac_t = (1/n) sum_k wk P_k cos(2 pi k t / n) for a
+    real symmetric power spectrum given as half bins (Wiener-Khinchin)."""
+    k = np.arange(n // 2 + 1)[:, None] * np.arange(keep)[None, :]
+    ang = 2.0 * np.pi * k / n
+    wk = np.full((n // 2 + 1, 1), 2.0)
+    wk[0] = wk[-1] = 1.0
+    return (wk * np.cos(ang) / n).astype(np.float32)
+
+
+def autocorr_from_half_power(p_half, n: int, keep: int, precision=jax.lax.Precision.HIGH):
+    """Half-bin power spectrum (..., n//2+1) -> autocorrelation (..., keep)."""
+    M = _autocorr_mats(n, keep)
+    return jnp.dot(p_half, jnp.asarray(M), precision=precision)

@@ -72,12 +72,13 @@ def dct_lifter_matrix(dtype=np.float64):
     return (basis * lift[None, :]).astype(dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("dtype",))
-def mfcc_frames(frames, mel_m, dct_m, dtype=jnp.float64):
+@functools.partial(jax.jit, static_argnames=("dtype", "fft_engine"))
+def mfcc_frames(frames, mel_m, dct_m, dtype=jnp.float64, fft_engine: str = "xla"):
     """(F, 1024) int16 analysis frames -> (F, 12) MFCC features.
 
     Each frame is [x[i-1] history ... current] as framed by the caller; the
     pre-emphasis + window + FFT + mel + DCT pipeline matches the oracle.
+    ``fft_engine="mxu3"`` (f32 only) runs the DFT as MXU matmuls.
     """
     f = frames.astype(dtype)
     pre = jnp.concatenate(
@@ -85,11 +86,18 @@ def mfcc_frames(frames, mel_m, dct_m, dtype=jnp.float64):
     )
     w = hamming(WINDOW_LEN, dtype)
     windowed = pre * w
-    if dtype == jnp.float64:
+    if fft_engine.startswith("mxu"):
+        from jeicyboodsp_tpu.ops import dft as mdft
+
+        re, im = mdft.rdft(windowed, precision=mdft.precision_of(fft_engine))
+        xr, xi = re[:, :KEEP_LEN], im[:, :KEEP_LEN]
+    elif dtype == jnp.float64:
         X = jnp.fft.fft(windowed.astype(jnp.complex128))[:, :KEEP_LEN]
+        xr, xi = X.real, X.imag
     else:
         X = jnp.fft.rfft(windowed)[:, :KEEP_LEN]  # real input; bins 0..511
-    mag = jnp.sqrt(X.real ** 2 + X.imag ** 2)
+        xr, xi = X.real, X.imag
+    mag = jnp.sqrt(xr ** 2 + xi ** 2)
     # MXU matmuls at HIGHEST precision: the TPU default runs bf16 passes,
     # which costs ~70 dB of feature fidelity
     mm = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
@@ -98,8 +106,8 @@ def mfcc_frames(frames, mel_m, dct_m, dtype=jnp.float64):
     return mm(mel_log, dct_m)
 
 
-@functools.partial(jax.jit, static_argnames=("dtype",))
-def mfcc_blocks(blocks, mel_m, dct_m, dtype=jnp.float32):
+@functools.partial(jax.jit, static_argnames=("dtype", "fft_engine"))
+def mfcc_blocks(blocks, mel_m, dct_m, dtype=jnp.float32, fft_engine: str = "xla"):
     """Jittable MFCC over (..., T, 1024) int16 blocks -> (..., 2T, 12).
 
     Builds the two 512-hop frames per block from the in-signal keep buffer
@@ -117,7 +125,9 @@ def mfcc_blocks(blocks, mel_m, dct_m, dtype=jnp.float32):
     rows = flat.reshape(*lead, 2 * T + 1, KEEP_LEN)
     frames = jnp.concatenate([rows[..., :-1, :], rows[..., 1:, :]], axis=-1)
     shape = frames.shape
-    feats = mfcc_frames(frames.reshape(-1, WINDOW_LEN), mel_m, dct_m, dtype=dtype)
+    feats = mfcc_frames(
+        frames.reshape(-1, WINDOW_LEN), mel_m, dct_m, dtype=dtype, fft_engine=fft_engine
+    )
     return feats.reshape(*shape[:-1], MFCC_LEN)
 
 
@@ -205,15 +215,26 @@ def _pick(ac, pick_max: bool):
     return arg, ext
 
 
-@functools.partial(jax.jit, static_argnames=("method", "dtype"))
-def pitch_frames(frames, method: int = 1, dtype=jnp.float64):
+@functools.partial(jax.jit, static_argnames=("method", "dtype", "fft_engine"))
+def pitch_frames(frames, method: int = 1, dtype=jnp.float64, fft_engine: str = "xla"):
     """(T, 1024) int16 frames [prev, cur] -> (lag (T,), value (T,), f0 (T,))."""
     u = frames.astype(dtype)
     if method == 1:
-        ctype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
-        X = jnp.fft.fft(u.astype(ctype))
-        P = X.real ** 2 + X.imag ** 2
-        ac = jnp.fft.ifft(P.astype(ctype)).real[:, :_PITCH_BLOCK]
+        if fft_engine.startswith("mxu"):
+            # Wiener-Khinchin on the MXU: half-bin power spectrum -> one
+            # cosine matmul gives the autocorrelation directly
+            from jeicyboodsp_tpu.ops import dft as mdft
+
+            prec = mdft.precision_of(fft_engine)
+            re, im = mdft.rdft(u, precision=prec)
+            ac = mdft.autocorr_from_half_power(
+                re ** 2 + im ** 2, _PITCH_PROC, _PITCH_BLOCK, precision=prec
+            )
+        else:
+            ctype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
+            X = jnp.fft.fft(u.astype(ctype))
+            P = X.real ** 2 + X.imag ** 2
+            ac = jnp.fft.ifft(P.astype(ctype)).real[:, :_PITCH_BLOCK]
         arg, val = _pick(ac, True)
     else:
         lags = jnp.arange(_PITCH_BLOCK)

@@ -46,12 +46,20 @@ def vad_energy_flags(blocks, dtype=jnp.float64):
     return energy > THRESHOLD_OF_ENERGY
 
 
-@functools.partial(jax.jit, static_argnames=("dtype",))
-def mvdr_blocks(blocks_l, blocks_r, d_time=0.0, dtype=jnp.float64):
-    """(T, 512) int16 per channel -> ((T, 512) int16, write_mask (T,))."""
+@functools.partial(jax.jit, static_argnames=("dtype", "fft_engine"))
+def mvdr_blocks(blocks_l, blocks_r, d_time=0.0, dtype=jnp.float64, fft_engine: str = "xla"):
+    """(T, 512) int16 per channel -> ((T, 512) int16, write_mask (T,)).
+
+    ``fft_engine="mxu3"`` (f32 only) evaluates the four real-input forward
+    FFTs and the non-Hermitian inverse as MXU matmuls (see ops/dft.py)."""
     T = blocks_l.shape[0]
     fdtype = dtype
     ctype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
+    use_mxu = fft_engine.startswith("mxu")
+    if use_mxu:
+        from jeicyboodsp_tpu.ops import dft as mdft
+
+        prec = mdft.precision_of(fft_engine)
 
     speech = vad_energy_flags(blocks_l, fdtype)
     noise = ~speech
@@ -70,12 +78,17 @@ def mvdr_blocks(blocks_l, blocks_r, d_time=0.0, dtype=jnp.float64):
     prev_r = jnp.concatenate([jnp.zeros((1, BLOCK_LEN), blocks_r.dtype), blocks_r[:-1]])
     pairs_l = jnp.concatenate([prev_l, blocks_l], axis=1).astype(fdtype)
     pairs_r = jnp.concatenate([prev_r, blocks_r], axis=1).astype(fdtype)
-    Lf = jnp.fft.fft(pairs_l.astype(ctype))
-    Rf = jnp.fft.fft(pairs_r.astype(ctype))
-    r00 = jnp.sum(Lf.real ** 2 + Lf.imag ** 2, axis=1) / FFT_LEN
-    r01 = jnp.sum(-Lf.real * Rf.imag + Lf.imag * Rf.real, axis=1) / FFT_LEN
-    r10 = jnp.sum(-Rf.real * Lf.imag + Rf.imag * Lf.real, axis=1) / FFT_LEN
-    r11 = jnp.sum(Rf.real ** 2 + Rf.imag ** 2, axis=1) / FFT_LEN
+    if use_mxu:
+        Lfr, Lfi = mdft.cdft_of_real_full(pairs_l, precision=prec)
+        Rfr, Rfi = mdft.cdft_of_real_full(pairs_r, precision=prec)
+    else:
+        Lf = jnp.fft.fft(pairs_l.astype(ctype))
+        Rf = jnp.fft.fft(pairs_r.astype(ctype))
+        Lfr, Lfi, Rfr, Rfi = Lf.real, Lf.imag, Rf.real, Rf.imag
+    r00 = jnp.sum(Lfr ** 2 + Lfi ** 2, axis=1) / FFT_LEN
+    r01 = jnp.sum(-Lfr * Rfi + Lfi * Rfr, axis=1) / FFT_LEN
+    r10 = jnp.sum(-Rfr * Lfi + Rfi * Lfr, axis=1) / FFT_LEN
+    r11 = jnp.sum(Rfr ** 2 + Rfi ** 2, axis=1) / FFT_LEN
     contrib = jnp.stack([r00, r01, r10, r11], axis=1) * accumulate[:, None].astype(fdtype)
     R = jnp.cumsum(contrib, axis=0)  # (T, 4) inclusive prefix
 
@@ -101,18 +114,28 @@ def mvdr_blocks(blocks_l, blocks_r, d_time=0.0, dtype=jnp.float64):
     zero_tail = jnp.zeros((T, 1), fdtype)
     frame_l = jnp.concatenate([keep_l.astype(fdtype), blocks_l.astype(fdtype), zero_tail], axis=1)
     frame_r = jnp.concatenate([keep_r.astype(fdtype), blocks_r.astype(fdtype), zero_tail], axis=1)
-    L = jnp.fft.fft(frame_l.astype(ctype))
-    Rch = jnp.fft.fft(frame_r.astype(ctype))
+    if use_mxu:
+        Lr, Li = mdft.cdft_of_real_full(frame_l, precision=prec)
+        Rr, Ri = mdft.cdft_of_real_full(frame_r, precision=prec)
+    else:
+        L = jnp.fft.fft(frame_l.astype(ctype))
+        Rch = jnp.fft.fft(frame_r.astype(ctype))
+        Lr, Li, Rr, Ri = L.real, L.imag, Rch.real, Rch.imag
 
     wl_r, wl_i = w0.real, -w0.imag  # conjugated weights (:175-178)
     wr_r, wr_i = w1.real, -w1.imag
     # overwrite-sequencing quirk (:180-183)
-    L0 = L.real * wl_r - L.imag * wl_i
-    L1 = L0 * wl_i + L.imag * wl_r
-    R0 = Rch.real * wr_r - Rch.imag * wr_i
-    R1 = R0 * wr_i + Rch.imag * wr_r
-    merged = ((L0 + R0) + 1j * (L1 + R1)).astype(ctype)
-    y = jnp.fft.ifft(merged).real
+    L0 = Lr * wl_r - Li * wl_i
+    L1 = L0 * wl_i + Li * wl_r
+    R0 = Rr * wr_r - Ri * wr_i
+    R1 = R0 * wr_i + Ri * wr_r
+    if use_mxu:
+        # the merged spectrum is NOT Hermitian (sequencing quirk), so use the
+        # full-bin real-part inverse
+        y = mdft.icdft_real(L0 + R0, L1 + R1, precision=prec)
+    else:
+        merged = ((L0 + R0) + 1j * (L1 + R1)).astype(ctype)
+        y = jnp.fft.ifft(merged).real
     out = c_short_jnp(y[:, KEEP_LEN : KEEP_LEN + BLOCK_LEN])
     write_mask = jnp.arange(T) >= 1
     return out, write_mask
@@ -123,7 +146,7 @@ def steering_delay(angle_rad: float = 0.0) -> float:
     return (DISTANCE_OF_MIC / SPEED_OF_SOUND) * float(np.sin(angle_rad))
 
 
-def run_stream(xl, xr, d_time=0.0, dtype=jnp.float64):
+def run_stream(xl, xr, d_time=0.0, dtype=jnp.float64, fft_engine: str = "xla"):
     xl = np.asarray(xl, np.int16)
     xr = np.asarray(xr, np.int16)
     n = min(len(xl), len(xr))
@@ -138,5 +161,7 @@ def run_stream(xl, xr, d_time=0.0, dtype=jnp.float64):
         return b
 
     bl, br = blockify(xl), blockify(xr)
-    out, mask = mvdr_blocks(jnp.asarray(bl), jnp.asarray(br), d_time, dtype=dtype)
+    out, mask = mvdr_blocks(
+        jnp.asarray(bl), jnp.asarray(br), d_time, dtype=dtype, fft_engine=fft_engine
+    )
     return np.asarray(out)[np.asarray(mask)].reshape(-1)

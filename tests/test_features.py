@@ -41,6 +41,41 @@ def test_pitch_all_methods_match_oracle(rng):
             np.testing.assert_allclose(f0s[i], wf, rtol=1e-9)
 
 
+def test_mfcc_mxu_engine_snr(rng, snr):
+    """MXU matmul-DFT MFCC stays feature-accurate (>= 60 dB vs oracle)."""
+    import jax.numpy as jnp
+
+    x = _speech(rng, 1024 * 5)
+    want = omfcc.run(x)
+    mel_m = jnp.asarray(jf.mel_matrix(np.float32))
+    dct_m = jnp.asarray(jf.dct_lifter_matrix(np.float32))
+    feats = np.asarray(
+        jf.mfcc_blocks(
+            jnp.asarray(x.reshape(-1, 1024)), mel_m, dct_m,
+            dtype=jnp.float32, fft_engine="mxu3",
+        )
+    )
+    got = feats[1 : 1 + len(want)]  # run-level first-frame skip
+    assert snr(want, got) >= 60.0, snr(want, got)
+
+
+def test_pitch_mxu_engine_lags(rng):
+    """MXU Wiener-Khinchin autocorrelation reproduces the oracle's lags."""
+    import jax.numpy as jnp
+
+    x = _speech(rng, 512 * 8)
+    want = opitch.run(x, 1)
+    blocks = x.reshape(-1, 512)
+    frames = np.concatenate(
+        [np.concatenate([np.zeros((1, 512), np.int16), blocks[:-1]]), blocks], axis=1
+    )
+    args, _, _ = jf.pitch_frames(jnp.asarray(frames), method=1, dtype=jnp.float32,
+                                 fft_engine="mxu3")
+    got = np.asarray(args)
+    match = np.mean([got[i] == wa for i, (wa, _, _) in enumerate(want)])
+    assert match >= 0.95, (match, got[: len(want)], [w[0] for w in want])
+
+
 def test_pitch_finds_period_multiple(rng):
     """Sanity: for a 125 Hz tone (lag 128) the reference's biased search --
     normalization by (1024-k) inflates long lags -- locks onto a *multiple*

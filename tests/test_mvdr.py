@@ -36,6 +36,14 @@ def test_f32_snr(rng, snr):
     assert snr(want, got) >= 60.0, snr(want, got)
 
 
+def test_mxu_engine_snr(rng, snr):
+    """The MXU matmul-DFT engine keeps the compat contract for MVDR."""
+    xl, xr = _stereo(rng)
+    want = omv.run(xl, xr)
+    got = jmv.run_stream(xl, xr, dtype=jnp.float32, fft_engine="mxu3")
+    assert snr(want, got) >= 60.0, snr(want, got)
+
+
 def test_all_speech_input_is_zero_output(rng):
     """Without noise frames R stays singular -> NaN weights -> zeros."""
     n = 512 * 6
