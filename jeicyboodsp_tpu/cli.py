@@ -38,6 +38,13 @@ def main(argv=None):
         help="f32 speed path (compat quirks preserved, bit-level f64 fidelity relaxed)",
     )
     parser.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    parser.add_argument(
+        "--engine",
+        default=None,
+        choices=["xla", "mxu", "mxu3"],
+        help="FFT engine for --fast pipelines that support it "
+        "(mxu3 = 3-pass MXU matmul DFT, the TPU speed path)",
+    )
     ns = parser.parse_args(argv)
 
     import jax
@@ -62,6 +69,8 @@ def main(argv=None):
         import jax.numpy as jnp
 
         kw["dtype"] = jnp.float32
+        if ns.engine:
+            kw["fft_engine"] = ns.engine
     PIPELINES[ns.pipeline](*ns.args, **kw)
     return 0
 

@@ -343,7 +343,10 @@ def enhance_chunk(state, blocks, mode: str = "wiener", dtype=jnp.float64):
     return out, use_tail, new_state
 
 
-def run_stream(x, mode: str = "wiener", dtype=jnp.float64, use_assoc_scan: bool = False):
+def run_stream(
+    x, mode: str = "wiener", dtype=jnp.float64, use_assoc_scan: bool = False,
+    fft_engine: str = "xla",
+):
     """Host convenience: full signal in, reference-equivalent byte stream out."""
     x = np.asarray(x, dtype=np.int16)
     T = len(x) // BLOCK_LEN
@@ -352,7 +355,10 @@ def run_stream(x, mode: str = "wiener", dtype=jnp.float64, use_assoc_scan: bool 
     if rem:
         last = np.concatenate([x[T * BLOCK_LEN :], blocks[-1][rem:] if T else np.zeros(BLOCK_LEN - rem, np.int16)])
         blocks = np.concatenate([blocks, last[None]], axis=0)
-    out, mask = enhance_blocks(jnp.asarray(blocks), mode=mode, dtype=dtype, use_assoc_scan=use_assoc_scan)
+    out, mask = enhance_blocks(
+        jnp.asarray(blocks), mode=mode, dtype=dtype, use_assoc_scan=use_assoc_scan,
+        real_fft=fft_engine.startswith("mxu"), fft_engine=fft_engine,
+    )
     out = np.asarray(out)
     mask = np.asarray(mask)
     return out[mask].reshape(-1)

@@ -131,7 +131,7 @@ def mfcc_blocks(blocks, mel_m, dct_m, dtype=jnp.float32, fft_engine: str = "xla"
     return feats.reshape(*shape[:-1], MFCC_LEN)
 
 
-def mfcc_run(x, dtype=jnp.float64, skip_first: bool = True):
+def mfcc_run(x, dtype=jnp.float64, skip_first: bool = True, fft_engine: str = "xla"):
     """Whole-signal MFCC matching oracle.mfcc.run framing."""
     from jeicyboodsp_tpu.oracle.mfcc import BLOCK_LEN
 
@@ -150,7 +150,9 @@ def mfcc_run(x, dtype=jnp.float64, skip_first: bool = True):
     frames = flat[starts[:, None] + np.arange(WINDOW_LEN)[None, :]]
     mel_m = jnp.asarray(mel_matrix(), dtype)
     dct_m = jnp.asarray(dct_lifter_matrix(), dtype)
-    feats = np.asarray(mfcc_frames(jnp.asarray(frames), mel_m, dct_m, dtype=dtype))
+    feats = np.asarray(
+        mfcc_frames(jnp.asarray(frames), mel_m, dct_m, dtype=dtype, fft_engine=fft_engine)
+    )
     return feats[1:] if skip_first else feats
 
 
@@ -254,7 +256,7 @@ def pitch_frames(frames, method: int = 1, dtype=jnp.float64, fft_engine: str = "
     return arg, val, _FS / arg.astype(dtype)
 
 
-def pitch_run(x, method: int = 1, dtype=jnp.float64):
+def pitch_run(x, method: int = 1, dtype=jnp.float64, fft_engine: str = "xla"):
     x = np.asarray(x, np.int16)
     T = len(x) // _PITCH_BLOCK
     rem = len(x) - T * _PITCH_BLOCK
@@ -265,5 +267,7 @@ def pitch_run(x, method: int = 1, dtype=jnp.float64):
         T += 1
     prev = np.concatenate([np.zeros((1, _PITCH_BLOCK), np.int16), blocks[:-1]])
     frames = np.concatenate([prev, blocks], axis=1)
-    arg, val, f0 = pitch_frames(jnp.asarray(frames), method=method, dtype=dtype)
+    arg, val, f0 = pitch_frames(
+        jnp.asarray(frames), method=method, dtype=dtype, fft_engine=fft_engine
+    )
     return np.asarray(arg), np.asarray(val), np.asarray(f0)
