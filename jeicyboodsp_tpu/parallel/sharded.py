@@ -309,6 +309,139 @@ def mvdr_sharded(blocks_l, blocks_r, mesh, d_time=0.0, dtype=jnp.float64, axis: 
     return run(blocks_l, blocks_r)
 
 
+def mvdr_sharded_bins(blocks_l, blocks_r, mesh, d_time=0.0, axis: str = "model"):
+    """Frequency-bin tensor-parallel MVDR (the MXU-DFT formulation).
+
+    With the DFT evaluated as matmuls (ops/dft.py), the frequency axis
+    shards exactly like a transformer MLP's hidden axis:
+
+    - forward DFT: COLUMN-parallel matmuls (each device computes its own
+      bins from the replicated frames -- zero communication);
+    - covariance: the per-block 2x2 R contribution is a sum over bins ->
+      one ``psum`` (the all-reduce of the column-parallel stage);
+    - per-bin steering / 2x2 solves / weight application: local;
+    - inverse DFT: ROW-parallel matmuls (each device's bins contribute a
+      partial time-domain signal) -> one ``psum``.
+
+    Two all-reduces per call, everything else embarrassingly parallel over
+    bins.  Matches ops.mvdr.mvdr_blocks(fft_engine="mxu") up to f32
+    reduction-order rounding.  No reference counterpart (SURVEY §5): this is
+    the framework's tensor-parallel axis, composable with the time/data axes.
+    """
+    from jeicyboodsp_tpu.ops import dft as mdft
+    from jeicyboodsp_tpu.utils.cnum import REF_PI
+
+    n = MV.FFT_LEN
+    n_shards = mesh.shape[axis]
+    assert n % n_shards == 0
+    T = blocks_l.shape[0]
+    dtype = jnp.float32
+
+    # full-bin forward/inverse matrices (n, n) / (n, n), sharded on the bin axis
+    Ch, Sh = mdft._rdft_mats(n)
+    import numpy as np
+
+    C = np.concatenate([Ch, Ch[:, -2:0:-1]], axis=1)  # cos even under k -> n-k
+    S = np.concatenate([Sh, -Sh[:, -2:0:-1]], axis=1)
+    IC, IS = mdft._icdft_real_mats(n)
+    prec = jax.lax.Precision.HIGH
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(), P(),  # blocks replicated
+            P(None, axis), P(None, axis),  # forward mats: column-sharded
+            P(axis, None), P(axis, None),  # inverse mats: row-sharded
+            P(axis),  # bin indices
+        ),
+        out_specs=(P(), P()),
+    )
+    def run(bl, br, Cl, Sl, ICl, ISl, bins):
+        speech = MV.vad_energy_flags(bl, dtype)
+        noise = ~speech
+        cnt, _ = jax.lax.associative_scan(
+            E.runlen_combine, (noise.astype(jnp.int32), noise)
+        )
+        accumulate = noise & (cnt >= 2)
+
+        prev_l = jnp.concatenate([jnp.zeros((1, MV.BLOCK_LEN), bl.dtype), bl[:-1]])
+        prev_r = jnp.concatenate([jnp.zeros((1, MV.BLOCK_LEN), br.dtype), br[:-1]])
+        pairs_l = jnp.concatenate([prev_l, bl], axis=1).astype(dtype)
+        pairs_r = jnp.concatenate([prev_r, br], axis=1).astype(dtype)
+
+        # column-parallel forward DFT: local bins only
+        Lfr = jnp.dot(pairs_l, Cl, precision=prec)
+        Lfi = jnp.dot(pairs_l, Sl, precision=prec)
+        Rfr = jnp.dot(pairs_r, Cl, precision=prec)
+        Rfi = jnp.dot(pairs_r, Sl, precision=prec)
+
+        # R contribution: partial sum over local bins -> all-reduce
+        r00 = jax.lax.psum(jnp.sum(Lfr**2 + Lfi**2, axis=1), axis) / n
+        r01 = jax.lax.psum(jnp.sum(-Lfr * Rfi + Lfi * Rfr, axis=1), axis) / n
+        r10 = jax.lax.psum(jnp.sum(-Rfr * Lfi + Rfi * Lfr, axis=1), axis) / n
+        r11 = jax.lax.psum(jnp.sum(Rfr**2 + Rfi**2, axis=1), axis) / n
+        contrib = jnp.stack([r00, r01, r10, r11], axis=1) * accumulate[:, None].astype(dtype)
+        R = jnp.cumsum(contrib, axis=0)
+
+        a, b, c_, d = R[:, 0], R[:, 1], R[:, 2], R[:, 3]
+        det = a * d - b * c_
+        inv = jnp.stack([d, -b, -c_, a], axis=1) / det[:, None]
+
+        # steering for the LOCAL bins
+        ang = 2.0 * REF_PI * bins.astype(dtype) * (MV.SAMPLING_RATE / n) * d_time
+        c0r = jnp.ones_like(ang)
+        c1r, c1i = jnp.cos(ang), jnp.sin(ang)
+        w0r = inv[:, 0, None] * c0r[None, :] + inv[:, 1, None] * c1r[None, :]
+        w0i = inv[:, 1, None] * c1i[None, :]
+        w1r = inv[:, 2, None] * c0r[None, :] + inv[:, 3, None] * c1r[None, :]
+        w1i = inv[:, 3, None] * c1i[None, :]
+        # denom = c0* w0 + c1* w1 (complex); then w /= denom
+        dr = c0r[None, :] * w0r + (c1r[None, :] * w1r + c1i[None, :] * w1i)
+        di = c0r[None, :] * w0i + (c1r[None, :] * w1i - c1i[None, :] * w1r)
+        dd = dr**2 + di**2
+        w0r, w0i = (w0r * dr + w0i * di) / dd, (w0i * dr - w0r * di) / dd
+        w1r, w1i = (w1r * dr + w1i * di) / dd, (w1i * dr - w1r * di) / dd
+
+        zero_tail = jnp.zeros((bl.shape[0], 1), dtype)
+        frame_l = jnp.concatenate(
+            [prev_l[:, : MV.KEEP_LEN].astype(dtype), bl.astype(dtype), zero_tail], axis=1
+        )
+        frame_r = jnp.concatenate(
+            [prev_r[:, : MV.KEEP_LEN].astype(dtype), br.astype(dtype), zero_tail], axis=1
+        )
+        Lr = jnp.dot(frame_l, Cl, precision=prec)
+        Li = jnp.dot(frame_l, Sl, precision=prec)
+        Rr = jnp.dot(frame_r, Cl, precision=prec)
+        Ri = jnp.dot(frame_r, Sl, precision=prec)
+
+        wl_r, wl_i = w0r, -w0i  # conjugated weights
+        wr_r, wr_i = w1r, -w1i
+        L0 = Lr * wl_r - Li * wl_i  # overwrite-sequencing quirk preserved
+        L1 = L0 * wl_i + Li * wl_r
+        R0 = Rr * wr_r - Ri * wr_i
+        R1 = R0 * wr_i + Ri * wr_r
+
+        # row-parallel inverse: partial time-domain contribution -> all-reduce
+        y_part = jnp.dot(L0 + R0, ICl, precision=prec) - jnp.dot(
+            L1 + R1, ISl, precision=prec
+        )
+        y = jax.lax.psum(y_part, axis)
+        out = c_short_jnp(y[:, MV.KEEP_LEN : MV.KEEP_LEN + MV.BLOCK_LEN])
+        mask = jnp.arange(bl.shape[0]) >= 1
+        return out, mask
+
+    return run(
+        blocks_l,
+        blocks_r,
+        jnp.asarray(C),
+        jnp.asarray(S),
+        jnp.asarray(IC),
+        jnp.asarray(IS),
+        jnp.arange(n),
+    )
+
+
 def data_parallel_sharding(mesh, axis: str = "data"):
     """NamedSharding that splits a leading batch axis across the data axis."""
     return NamedSharding(mesh, P(axis))

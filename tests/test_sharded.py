@@ -29,6 +29,33 @@ def test_devices_available():
     assert len(jax.devices()) == 8, jax.devices()
 
 
+def test_mvdr_sharded_bins_matches_mxu_engine(rng):
+    """Tensor-parallel (frequency-bin) MVDR == unsharded MXU-DFT engine up
+    to f32 reduction-order rounding (+-1 int16 truncation flips)."""
+    import jax.numpy as jnp
+
+    from jeicyboodsp_tpu.ops.mvdr import mvdr_blocks
+    from jeicyboodsp_tpu.parallel import make_mesh
+    from jeicyboodsp_tpu.parallel.sharded import mvdr_sharded_bins
+
+    n = 512 * 16
+    t = np.arange(n) / 16000
+    speech = 6000 * np.sin(2 * np.pi * 400 * t) * (((t > 0.12) & (t < 0.2)) | (t > 0.3))
+    xl = np.clip(speech + rng.normal(0, 15, n), -32768, 32767).astype(np.int16)
+    xr = np.clip(0.8 * speech + rng.normal(0, 15, n), -32768, 32767).astype(np.int16)
+    bl = jnp.asarray(xl.reshape(-1, 512))
+    br = jnp.asarray(xr.reshape(-1, 512))
+
+    want, wm = mvdr_blocks(bl, br, 0.0, dtype=jnp.float32, fft_engine="mxu3")
+    mesh = make_mesh((8,), ("model",))
+    got, gm = mvdr_sharded_bins(bl, br, mesh, 0.0, axis="model")
+    np.testing.assert_array_equal(np.asarray(wm), np.asarray(gm))
+    w = np.asarray(want).astype(np.int64)
+    g = np.asarray(got).astype(np.int64)
+    d = np.abs(w - g)
+    assert d.max() <= 1 and (d != 0).mean() < 0.01, (d.max(), (d != 0).mean())
+
+
 def test_enhance_sharded_exact(rng):
     n = 512 * 32
     t = np.arange(n) / 16000
