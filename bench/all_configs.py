@@ -35,16 +35,18 @@ def cpp_sps(binary, args_builder, n_samples, per_sample_files=1):
     return n_samples / (time.perf_counter() - t0)
 
 
-def amortized(fn_calls):
+def amortized(fn_calls, n1=1, n2=5):
     """fn_calls(k) runs k chained device iterations and syncs; each k is
-    compiled+warmed before its timed run; returns per-iteration seconds."""
+    compiled+warmed before its timed run; returns per-iteration seconds.
+    Raise n2 for very fast sections (tunnel dispatch jitter ~ms can exceed
+    (n2-n1) iterations otherwise)."""
     def timed(k):
         fn_calls(k)  # compile + warm
         t0 = time.perf_counter()
         fn_calls(k)
         return time.perf_counter() - t0
-    t1, t5 = timed(1), timed(5)
-    return (t5 - t1) / 4
+    t1, t2 = timed(n1), timed(n2)
+    return (t2 - t1) / (n2 - n1)
 
 
 def main(groups=None):
@@ -70,7 +72,10 @@ def main(groups=None):
     x = mixed_signal(T * 512)
     blocks = jnp.asarray(x.reshape(T, 512))
     for mode in ("wiener", "specsub"):
-        FAST = dict(mode=mode, dtype=jnp.float32, use_assoc_scan=True, real_fft=True, resynth="ratio")
+        FAST = dict(
+            mode=mode, dtype=jnp.float32, use_assoc_scan=True, real_fft=True,
+            resynth="ratio", fft_engine="mxu3",
+        )
 
         @partial(jax.jit, static_argnames=("n",))
         def chained(b, n):
@@ -177,10 +182,28 @@ def main(groups=None):
     ).reshape(-1)
     write_wav("/tmp/b_fc.wav", xc[: fs * 60], fs)
     base = cpp_sps("fastconv", lambda: (["/tmp/b_fc.wav", "/tmp/b_fc_out.pcm"], None), fs * 60)
+    from jeicyboodsp_tpu.ops.fastconv import fastconv_blocks_sparse
+
+    @partial(jax.jit, static_argnames=("n",))
+    def fc_chain_sp(bk, n):
+        def body(i, carry):
+            cur, acc = carry
+            out = fastconv_blocks_sparse(cur, dtype=jnp.float32)
+            nxt = cur.at[7:].set(cur[7:] + (out & 1).astype(jnp.int16))
+            return nxt, acc + jnp.sum(out.astype(jnp.int32))
+
+        return jax.lax.fori_loop(0, n, body, (bk, jnp.int32(0)))[1]
+
+    per_sp = amortized(lambda k: jax.device_get(fc_chain_sp(cblocks, k)), n1=2, n2=12)
+    got_sp = np.asarray(
+        fastconv_blocks_sparse(jnp.asarray(probe.reshape(-1, 1024)), dtype=jnp.float32)
+    ).reshape(-1)
     results["fastconv"] = {
         "tpu_sps": Tc * 1024 / per,
+        "tpu_sps_sparse": Tc * 1024 / per_sp,
         "cpp_sps": base,
         "snr_db": snr_db(want, got),
+        "snr_db_sparse": snr_db(want, got_sp),
     }
 
     # ---------------- BNLMS ----------------
@@ -296,7 +319,7 @@ def main(groups=None):
 
         return jax.lax.fori_loop(0, n, body, (bk, jnp.float32(0)))[1]
 
-    per = amortized(lambda k: jax.device_get(mf_chain(fblocks, k)))
+    per = amortized(lambda k: jax.device_get(mf_chain(fblocks, k)), n1=2, n2=22)
     from jeicyboodsp_tpu.ops.features import mfcc_run
     from jeicyboodsp_tpu.oracle import mfcc as omf
 
@@ -365,7 +388,7 @@ def main(groups=None):
 
         return jax.lax.fori_loop(0, n, body, (fr, jnp.int32(0)))[1]
 
-    per = amortized(lambda k: jax.device_get(p_chain(frames, k)))
+    per = amortized(lambda k: jax.device_get(p_chain(frames, k)), n1=5, n2=105)
     write_wav("/tmp/b_p.wav", xp[: fs * 60], fs)
     base = cpp_sps("pitch1", lambda: (["/tmp/b_p.wav"], None), fs * 60)
     results["pitch1"] = {"tpu_sps": Tp * 512 / per, "cpp_sps": base}

@@ -69,6 +69,38 @@ def fastconv_blocks(blocks, Hr, Hi, dtype=jnp.float64, real_fft=False):
     return c_short_jnp(y[:, FILTER_LENGTH - 1 :])
 
 
+@functools.lru_cache(maxsize=None)
+def _sparse_taps():
+    """The RIR's 70 nonzero (delay, coefficient) pairs (FilterCoefficient.h:4)."""
+    h = np.asarray(load_rir(), np.float64)
+    (idx,) = np.nonzero(h)
+    return tuple(int(i) for i in idx), tuple(float(h[i]) for i in idx)
+
+
+@functools.partial(jax.jit, static_argnames=("dtype",))
+def fastconv_blocks_sparse(blocks, dtype=jnp.float32):
+    """Direct sparse convolution: the RIR has only 70 nonzero taps, so the
+    8192-pt FFT pipeline collapses to 70 static-slice scaled adds over the
+    flat signal (pure fused VPU elementwise, ~140 flops/sample vs ~1000 for
+    the FFT path).  Linear == overlap-save here because the maximum delay
+    (7155) is below the 7168-sample history the segment carries, so this is
+    numerically the same convolution with far less rounding (no spectrum
+    round-trip).  Same framing/warm-up semantics as :func:`fastconv_blocks`.
+    """
+    T = blocks.shape[0]
+    delays, coeffs = _sparse_taps()
+    x_eff = blocks.at[:WARMUP_BLOCKS].set(0)
+    flat = x_eff.reshape(-1).astype(dtype)
+    out_len = (T - WARMUP_BLOCKS) * BLOCK_SIZE
+    start = FILTER_LENGTH - 1  # 7168: first emitted sample's global index
+    y = jnp.zeros((out_len,), dtype)
+    for d, c in zip(delays, coeffs):
+        y = y + jnp.asarray(c, dtype) * jax.lax.slice_in_dim(
+            flat, start - d, start - d + out_len
+        )
+    return c_short_jnp(y.reshape(T - WARMUP_BLOCKS, BLOCK_SIZE))
+
+
 def filter_spectrum(h=None, dtype=jnp.float64, real_fft=False):
     """Host-side (numpy) filter spectrum as (real, imag) float planes."""
     if h is None:

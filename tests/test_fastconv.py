@@ -38,3 +38,25 @@ def test_warmup_discards_first_seven_blocks(rng):
     x2 = x.copy()
     x2[: 7 * 1024] = 1234  # arbitrarily different warm-up content
     np.testing.assert_array_equal(ofc.run(x), ofc.run(x2))
+
+
+def test_sparse_engine_matches_oracle(rng, snr):
+    """Direct sparse time-domain convolution (70 nonzero RIR taps as static
+    scaled slices) matches the oracle's FFT overlap-save to f32 rounding."""
+    import jax.numpy as jnp
+
+    from jeicyboodsp_tpu.ops.fastconv import fastconv_blocks_sparse
+
+    n = 16 * 1024
+    x = rng.integers(-8000, 8000, n).astype(np.int16)
+    want = ofc.run(x)
+    got = np.asarray(
+        fastconv_blocks_sparse(jnp.asarray(x.reshape(-1, 1024)), dtype=jnp.float32)
+    ).reshape(-1)
+    assert snr(want, got) >= 60.0, snr(want, got)
+    # and exactly in f64
+    got64 = np.asarray(
+        fastconv_blocks_sparse(jnp.asarray(x.reshape(-1, 1024)), dtype=jnp.float64)
+    ).reshape(-1)
+    d = np.abs(got64.astype(np.int64) - want.astype(np.int64))
+    assert d.max() <= 1, d.max()
