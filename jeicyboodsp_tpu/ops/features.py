@@ -258,6 +258,9 @@ def pitch_frames(frames, method: int = 1, dtype=jnp.float64, fft_engine: str = "
 
 def pitch_run(x, method: int = 1, dtype=jnp.float64, fft_engine: str = "xla"):
     x = np.asarray(x, np.int16)
+    if len(x) == 0:  # the reference program prints nothing on an empty payload
+        z = np.zeros(0)
+        return z.astype(np.int64), z, z
     T = len(x) // _PITCH_BLOCK
     rem = len(x) - T * _PITCH_BLOCK
     blocks = x[: T * _PITCH_BLOCK].reshape(T, _PITCH_BLOCK)
