@@ -436,6 +436,40 @@ def main(groups=None):
         "kernel_exact_vs_oracle": bool((ge.astype(np.int64) == oe.astype(np.int64)).all()),
     }
 
+    # ---------------- end-to-end speech pipeline (no file boundaries) ----------------
+    # reference equivalent: MFCC + GMM-train + GMM-test chained via binary
+    # feature files across three processes; here one jitted graph each.
+    from jeicyboodsp_tpu.pipelines.speech import speech_classify, speech_train
+
+    C, Ts = 25, 64  # 25 classes x 64 blocks (128 frames) per class
+    audio = jnp.asarray(
+        rng.integers(-8000, 8000, (C, Ts, 1024)).astype(np.int16)
+    )
+    t0 = time.perf_counter()
+    params = jax.block_until_ready(speech_train(audio, fft_engine="mxu3"))
+    train_cold = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    params = jax.block_until_ready(speech_train(audio, fft_engine="mxu3"))
+    train_warm = time.perf_counter() - t0
+    alphas, means, covs, eig = params
+    utt = audio[0]
+    eig4 = eig[:, :, :, :4]
+    scores = jax.block_until_ready(
+        speech_classify(utt, alphas, means, covs, eig4, fft_engine="mxu3")
+    )
+    t0 = time.perf_counter()
+    for _ in range(5):
+        scores = jax.block_until_ready(
+            speech_classify(utt, alphas, means, covs, eig4, fft_engine="mxu3")
+        )
+    cls_t = (time.perf_counter() - t0) / 5
+    results["speech_pipeline"] = {
+        "train_s_25cls_x_128frames": train_warm,
+        "train_compile_s": train_cold - train_warm,
+        "classify_s_per_utterance": cls_t,
+        "classify_argmax": int(np.argmax(np.asarray(scores))),
+    }
+
     # ---------------- report ----------------
     for k, v in results.items():
         if v.get("cpp_sps"):

@@ -32,8 +32,8 @@ def _mel_dct(dtype):
     return jnp.asarray(mel_matrix(npdtype)), jnp.asarray(dct_lifter_matrix(npdtype))
 
 
-@functools.partial(jax.jit, static_argnames=("dtype",))
-def speech_train(class_blocks, dtype=jnp.float32):
+@functools.partial(jax.jit, static_argnames=("dtype", "fft_engine"))
+def speech_train(class_blocks, dtype=jnp.float32, fft_engine: str = "xla"):
     """(C, T, 1024) int16 -> (alpha, mean, cov, eigvec8) per class.
 
     One device call: batched MFCC over all classes' audio, then vmapped
@@ -41,16 +41,17 @@ def speech_train(class_blocks, dtype=jnp.float32):
     pass pre-extracted features to models.gmm for that case.)
     """
     mel_m, dct_m = _mel_dct(dtype)
-    feats = mfcc_blocks(class_blocks, mel_m, dct_m, dtype=dtype)  # (C, 2T, 12)
+    feats = mfcc_blocks(class_blocks, mel_m, dct_m, dtype=dtype, fft_engine=fft_engine)  # (C, 2T, 12)
     masks = jnp.ones(feats.shape[:2], bool)
     return train_classes_batched(feats, masks)
 
 
-@functools.partial(jax.jit, static_argnames=("dtype",))
-def speech_classify(blocks, alphas, means, covs, eigvecs4, dtype=jnp.float32):
+@functools.partial(jax.jit, static_argnames=("dtype", "fft_engine"))
+def speech_classify(blocks, alphas, means, covs, eigvecs4, dtype=jnp.float32,
+                    fft_engine: str = "xla"):
     """(T, 1024) int16 utterance -> (C,) class scores (PCA-4 scorer)."""
     mel_m, dct_m = _mel_dct(dtype)
-    feats = mfcc_blocks(blocks[None], mel_m, dct_m, dtype=dtype)[0]
+    feats = mfcc_blocks(blocks[None], mel_m, dct_m, dtype=dtype, fft_engine=fft_engine)[0]
     return score_frames_all_classes(feats, alphas, means, covs, eigvecs4)
 
 
