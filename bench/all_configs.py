@@ -445,23 +445,31 @@ def main(groups=None):
     audio = jnp.asarray(
         rng.integers(-8000, 8000, (C, Ts, 1024)).astype(np.int16)
     )
+    # block_until_ready is unreliable through the axon tunnel: sync by
+    # device_get of a scalar (CLAUDE.md).  Includes ~28 ms dispatch overhead.
+    def train_sync():
+        a, m, c, e = speech_train(audio, fft_engine="mxu3")
+        jax.device_get(jnp.sum(m))
+        return a, m, c, e
+
     t0 = time.perf_counter()
-    params = jax.block_until_ready(speech_train(audio, fft_engine="mxu3"))
+    train_sync()
     train_cold = time.perf_counter() - t0
     t0 = time.perf_counter()
-    params = jax.block_until_ready(speech_train(audio, fft_engine="mxu3"))
+    alphas, means, covs, eig = train_sync()
     train_warm = time.perf_counter() - t0
-    alphas, means, covs, eig = params
     utt = audio[0]
     eig4 = eig[:, :, :, :4]
-    scores = jax.block_until_ready(
-        speech_classify(utt, alphas, means, covs, eig4, fft_engine="mxu3")
-    )
+
+    def cls_sync():
+        sc = speech_classify(utt, alphas, means, covs, eig4, fft_engine="mxu3")
+        jax.device_get(jnp.sum(sc))
+        return sc
+
+    scores = cls_sync()
     t0 = time.perf_counter()
     for _ in range(5):
-        scores = jax.block_until_ready(
-            speech_classify(utt, alphas, means, covs, eig4, fft_engine="mxu3")
-        )
+        scores = cls_sync()
     cls_t = (time.perf_counter() - t0) / 5
     results["speech_pipeline"] = {
         "train_s_25cls_x_128frames": train_warm,
