@@ -436,6 +436,70 @@ def main(groups=None):
         "kernel_exact_vs_oracle": bool((ge.astype(np.int64) == oe.astype(np.int64)).all()),
     }
 
+    # ---------------- LPC ----------------
+    from jeicyboodsp_tpu.ops.features import lpc_frames
+
+    Tl = 8192
+    xl2 = mixed_signal(Tl * 256)
+    lb = xl2.reshape(Tl, 256)
+    lframes = jnp.asarray(
+        np.concatenate([np.concatenate([np.zeros((1, 256), np.int16), lb[:-1]]), lb], axis=1)
+    )
+
+    @partial(jax.jit, static_argnames=("n",))
+    def lpc_chain(fr, n):
+        def body(i, carry):
+            cur, acc = carry
+            co = lpc_frames(cur, dtype=jnp.float32)
+            return cur + (co[:, :1] > acc).astype(jnp.int16), acc + jnp.sum(co)
+
+        return jax.lax.fori_loop(0, n, body, (fr, jnp.float32(0)))[1]
+
+    per = amortized(lambda k: jax.device_get(lpc_chain(lframes, k)), n1=2, n2=12)
+    write_wav("/tmp/b_lpc.wav", xl2[: fs * 60], fs)
+    base = cpp_sps("lpc", lambda: (["/tmp/b_lpc.wav", "/tmp/b_lpc.out"], None), fs * 60)
+    results["lpc"] = {"tpu_sps": Tl * 256 / per, "cpp_sps": base}
+
+    # ---------------- pitch methods 2 and 3 (AMDF / direct autocorr) ----------------
+    for method, name in ((2, "pitch2"), (3, "pitch3")):
+
+        @partial(jax.jit, static_argnames=("n", "m"))
+        def p_chain23(fr, n, m):
+            def body(i, carry):
+                cur, acc = carry
+                eng = "mxu" if m == 3 else "xla"  # m3: WK matmul; m2: AMDF has no FFT form
+                args, vals, f0 = pitch_frames(cur, method=m, dtype=jnp.float32, fft_engine=eng)
+                return cur + (args[:, None] % 2).astype(jnp.int16), acc + jnp.sum(args)
+
+            return jax.lax.fori_loop(0, n, body, (fr, jnp.int64(0) if False else jnp.int32(0)))[1]
+
+        per = amortized(lambda k: jax.device_get(p_chain23(frames[:2048], k, method)), n1=1, n2=5)
+        base = cpp_sps(name, lambda: (["/tmp/b_p.wav"], None), fs * 60)
+        results[name] = {"tpu_sps": 2048 * 512 / per, "cpp_sps": base}
+
+    # ---------------- Viterbi decode throughput ----------------
+    from jeicyboodsp_tpu.models.hmm import viterbi
+
+    F = 4096  # frames
+    feats = jnp.asarray(rng.normal(0, 1.0, (F, 12)).astype(np.float32))
+    alpha6 = jnp.full((6, 4), 0.25, jnp.float32)
+    mean6 = jnp.asarray(rng.normal(0, 1, (6, 4, 12)).astype(np.float32))
+    cov6 = jnp.broadcast_to(jnp.eye(12, dtype=jnp.float32), (6, 4, 12, 12)) * 2.0
+    eig6 = jnp.broadcast_to(jnp.eye(12, dtype=jnp.float32)[:, :4], (6, 4, 12, 4))
+    trans = jnp.full((6, 6), 1.0 / 6, jnp.float32)
+
+    @partial(jax.jit, static_argnames=("n",))
+    def vit_chain(f0, n):
+        def body(i, carry):
+            cur, acc = carry
+            path, score = viterbi(cur, alpha6, mean6, cov6, eig6, trans, compat=False)
+            return cur + (path[:, None] % 2).astype(jnp.float32) * 1e-6, acc + score
+
+        return jax.lax.fori_loop(0, n, body, (f0, jnp.float32(0)))[1]
+
+    per = amortized(lambda k: jax.device_get(vit_chain(feats, k)), n1=1, n2=5)
+    results["viterbi_decode"] = {"frames_per_s": F / per}
+
     # ---------------- end-to-end speech pipeline (no file boundaries) ----------------
     # reference equivalent: MFCC + GMM-train + GMM-test chained via binary
     # feature files across three processes; here one jitted graph each.

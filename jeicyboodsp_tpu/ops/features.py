@@ -227,7 +227,9 @@ def pitch_frames(frames, method: int = 1, dtype=jnp.float64, fft_engine: str = "
             # cosine matmul gives the autocorrelation directly
             from jeicyboodsp_tpu.ops import dft as mdft
 
-            prec = mdft.precision_of(fft_engine)
+            # always HIGHEST here: the observable is an argmax over
+            # near-equal period-multiple peaks; 3-pass rounding flips them
+            prec = jax.lax.Precision.HIGHEST
             re, im = mdft.rdft(u, precision=prec)
             ac = mdft.autocorr_from_half_power(
                 re ** 2 + im ** 2, _PITCH_PROC, _PITCH_BLOCK, precision=prec
@@ -237,6 +239,21 @@ def pitch_frames(frames, method: int = 1, dtype=jnp.float64, fft_engine: str = "
             X = jnp.fft.fft(u.astype(ctype))
             P = X.real ** 2 + X.imag ** 2
             ac = jnp.fft.ifft(P.astype(ctype)).real[:, :_PITCH_BLOCK]
+        arg, val = _pick(ac, True)
+    elif method == 3 and fft_engine.startswith("mxu"):
+        # linear autocorrelation == Wiener-Khinchin on the zero-padded frame:
+        # rdft(2048) -> power -> one cosine matmul; exact same sums as the
+        # masked time-domain loop, ~100x less HBM traffic than 511 rolls
+        from jeicyboodsp_tpu.ops import dft as mdft
+
+        prec = jax.lax.Precision.HIGHEST  # argmax over near-ties, see above
+        n = _PITCH_PROC
+        up = jnp.concatenate([u, jnp.zeros_like(u)], axis=1)  # (T, 2048)
+        re, im = mdft.rdft(up, precision=prec)
+        ac = mdft.autocorr_from_half_power(
+            re ** 2 + im ** 2, 2 * n, _PITCH_BLOCK, precision=prec
+        )
+        ac = ac / (n - jnp.arange(_PITCH_BLOCK)).astype(dtype)
         arg, val = _pick(ac, True)
     else:
         lags = jnp.arange(_PITCH_BLOCK)
