@@ -450,7 +450,7 @@ def main(groups=None):
     def lpc_chain(fr, n):
         def body(i, carry):
             cur, acc = carry
-            co = lpc_frames(cur, dtype=jnp.float32)
+            co = lpc_frames(cur, dtype=jnp.float32, solver="levinson")
             return cur + (co[:, :1] > acc).astype(jnp.int16), acc + jnp.sum(co)
 
         return jax.lax.fori_loop(0, n, body, (fr, jnp.float32(0)))[1]
@@ -473,7 +473,10 @@ def main(groups=None):
 
             return jax.lax.fori_loop(0, n, body, (fr, jnp.int64(0) if False else jnp.int32(0)))[1]
 
-        per = amortized(lambda k: jax.device_get(p_chain23(frames[:2048], k, method)), n1=1, n2=5)
+        per = amortized(
+            lambda k: jax.device_get(p_chain23(frames[:2048], k, method)),
+            n1=5, n2=105 if method == 3 else 25,  # m3 is sub-ms (WK matmul)
+        )
         base = cpp_sps(name, lambda: (["/tmp/b_p.wav"], None), fs * 60)
         results[name] = {"tpu_sps": 2048 * 512 / per, "cpp_sps": base}
 

@@ -123,16 +123,28 @@ def em_step(frames, mask, alpha, mean, cov):
     return alpha_new, mean_new, cov_new
 
 
-@functools.partial(jax.jit, static_argnames=("iterations",))
-def train_single_file(frames, mask, iterations=EM_ITERATIONS):
-    """Seed + K-means + EM on one feature array (first file of a class)."""
+@functools.partial(jax.jit, static_argnames=("iterations", "cov_floor"))
+def train_single_file(frames, mask, iterations=EM_ITERATIONS, cov_floor: float = 0.0):
+    """Seed + K-means + EM on one feature array (first file of a class).
+
+    cov_floor=0.0 is the reference behavior.  A small positive floor
+    (added as eps*I after k-means and each EM step) regularizes the
+    rank-deficient covariances that arise when a mixture owns fewer
+    frames than dimensions -- needed by the HMM trainer's tiny per-state
+    fits, NOT by the reference's corpus-size classes."""
     init_means = frames[jnp.arange(NUM_OF_MIXTURE) * 4]
     mean, cov = kmeans(frames, mask, init_means)
+    eye = jnp.eye(frames.shape[1], dtype=frames.dtype)
+    if cov_floor:
+        cov = cov + cov_floor * eye
     alpha = jnp.full((NUM_OF_MIXTURE,), 1.0 / NUM_OF_MIXTURE, frames.dtype)
 
     def body(_, carry):
         a, m, c = carry
-        return em_step(frames, mask, a, m, c)
+        a, m, c = em_step(frames, mask, a, m, c)
+        if cov_floor:
+            c = c + cov_floor * eye
+        return a, m, c
 
     alpha, mean, cov = jax.lax.fori_loop(0, iterations, body, (alpha, mean, cov))
     return alpha, mean, cov
@@ -190,8 +202,8 @@ def score_frames(frames, alpha, mean, cov, eigvec):
     return jnp.mean(jnp.log(s))
 
 
-@functools.partial(jax.jit, static_argnames=("iterations",))
-def train_classes_batched(frames, masks, iterations=EM_ITERATIONS):
+@functools.partial(jax.jit, static_argnames=("iterations", "cov_floor"))
+def train_classes_batched(frames, masks, iterations=EM_ITERATIONS, cov_floor: float = 0.0):
     """vmapped per-class training: frames (C, N, 12) padded, masks (C, N).
 
     The class axis is the framework's "expert" axis -- shard it over the
@@ -202,7 +214,7 @@ def train_classes_batched(frames, masks, iterations=EM_ITERATIONS):
     """
 
     def one(f, m):
-        alpha, mean, cov = train_single_file(f, m, iterations=iterations)
+        alpha, mean, cov = train_single_file(f, m, iterations=iterations, cov_floor=cov_floor)
         return pca_export(alpha, mean, cov)
 
     return jax.vmap(one)(frames, masks)

@@ -107,3 +107,73 @@ def viterbi(frames, alpha, mean, cov, eigvec, trans, compat: bool = True):
     _, path_rev = jax.lax.scan(bt, last, back, reverse=True)
     path = jnp.concatenate([path_rev, last[None]])
     return path, jnp.max(p_last)
+
+
+def train_hmm(frames, n_iter: int = 3):
+    """Segmental (Viterbi) HMM training -- a capability the reference never
+    had: its Viterbi program reads foreign model files
+    (``Viterbi_version1.cpp:80``) and no trainer exists anywhere in the repo.
+
+    frames: (T, 12) MFCC features of one utterance.  Initialization is a
+    uniform segmentation into the 6 states; each iteration refits every
+    state's 4-mix GMM on its assigned frames (reusing the batched class
+    trainer -- states are just classes with masks), re-estimates the
+    transition matrix from bigram counts (add-eps smoothing), and re-decodes
+    with the corrected Viterbi.  Degenerate states (no assigned frames)
+    produce NaN densities and lose every decode comparison, so they empty
+    out rather than poison the path -- callers wanting guarantees should
+    check ``mask.sum(axis=1)``.
+
+    Returns a dict with alpha/mean/cov/eigvec (PCA-8 export), trans, the
+    final state path, and the decode score.
+    """
+    from jeicyboodsp_tpu.models.gmm import train_classes_batched
+
+    frames = jnp.asarray(frames)
+    T = frames.shape[0]
+    path = (jnp.arange(T) * NUM_OF_STATE // T).astype(jnp.int32)
+
+    feat_dim = frames.shape[1]
+    out = None
+    for _ in range(n_iter):
+        masks = jax.vmap(lambda s: path == s)(jnp.arange(NUM_OF_STATE))
+        framesC = jnp.broadcast_to(frames, (NUM_OF_STATE,) + frames.shape)
+        # the class trainer seeds k-means from the FIRST frames of its input
+        # (reference behavior); reorder each state's copy so its own masked
+        # frames lead, otherwise every state seeds from the same global head
+        order = jax.vmap(lambda m: jnp.argsort(~m, stable=True))(masks)
+        framesC = jnp.take_along_axis(framesC, order[:, :, None], axis=1)
+        masksO = jnp.take_along_axis(masks, order, axis=1)
+        alpha, mean, cov, eig8 = train_classes_batched(framesC, masksO, cov_floor=1e-2)
+        # states that lost all frames produce NaN fits; replace them with a
+        # far-away unit Gaussian (density ~ 0 -> log -inf, which the decode's
+        # max() simply never picks) instead of letting NaN poison the DP
+        bad = ~(
+            jnp.isfinite(alpha).all(axis=1)
+            & jnp.isfinite(mean).all(axis=(1, 2))
+            & jnp.isfinite(cov).all(axis=(1, 2, 3))
+            & jnp.isfinite(eig8).all(axis=(1, 2, 3))
+        )
+        nmix = alpha.shape[1]
+        alpha = jnp.where(bad[:, None], 1.0 / nmix, alpha)
+        mean = jnp.where(bad[:, None, None], 1e6, mean)
+        cov = jnp.where(
+            bad[:, None, None, None],
+            jnp.broadcast_to(jnp.eye(feat_dim, dtype=cov.dtype), cov.shape),
+            cov,
+        )
+        eye8 = jnp.broadcast_to(
+            jnp.eye(feat_dim, dtype=eig8.dtype)[:, : eig8.shape[-1]], eig8.shape
+        )
+        eig8 = jnp.where(bad[:, None, None, None], eye8, eig8)
+        onehot = jax.nn.one_hot(path, NUM_OF_STATE, dtype=frames.dtype)
+        counts = onehot[:-1].T @ onehot[1:] + 1e-3
+        trans = counts / counts.sum(axis=1, keepdims=True)
+        path, score = viterbi(
+            frames, alpha, mean, cov, eig8[..., :PCA_LEN_TEST], trans, compat=False
+        )
+        out = dict(
+            alpha=alpha, mean=mean, cov=cov, eigvec=eig8, trans=trans,
+            path=path, score=score,
+        )
+    return out

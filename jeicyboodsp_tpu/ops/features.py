@@ -161,9 +161,15 @@ def mfcc_run(x, dtype=jnp.float64, skip_first: bool = True, fft_engine: str = "x
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("dtype",))
-def lpc_frames(frames, dtype=jnp.float64):
-    """(F, 512) int16 analysis windows -> (F, 12) LPC coefficients."""
+@functools.partial(jax.jit, static_argnames=("dtype", "solver"))
+def lpc_frames(frames, dtype=jnp.float64, solver: str = "solve"):
+    """(F, 512) int16 analysis windows -> (F, 12) LPC coefficients.
+
+    solver="solve" mirrors the reference's explicit 12x12 Toeplitz inverse
+    (LPCEstimation.cpp:115-126) via batched LU; solver="levinson" exploits
+    the Toeplitz structure with the O(p^2) Levinson-Durbin recursion -- 12
+    static steps of pure elementwise math over all frames, ~20x faster on
+    TPU than batched LU (same solution up to rounding)."""
     n = frames.shape[1]
     w = hamming(n, dtype)
     win = frames.astype(dtype) * w
@@ -175,6 +181,22 @@ def lpc_frames(frames, dtype=jnp.float64):
         return jnp.sum(jnp.where(mask[None, :], prod, 0.0), axis=1) / (n - lag).astype(dtype)
 
     r = jax.vmap(corr, out_axes=1)(lags)  # (F, 13)
+    if solver == "levinson":
+        # solve T a = -r[1:] (Yule-Walker): a holds the predictor coeffs
+        a = jnp.zeros((frames.shape[0], LPC_LEN), dtype)
+        e = r[:, 0]
+        for m in range(1, LPC_LEN + 1):
+            acc = r[:, m]
+            for j in range(1, m):
+                acc = acc + a[:, j - 1] * r[:, m - j]
+            k = -acc / e
+            new_a = a.at[:, m - 1].set(k)
+            if m > 1:
+                head = a[:, : m - 1] + k[:, None] * a[:, : m - 1][:, ::-1]
+                new_a = new_a.at[:, : m - 1].set(head)
+            a = new_a
+            e = e * (1.0 - k * k)
+        return a
     idx = jnp.abs(jnp.arange(LPC_LEN)[:, None] - jnp.arange(LPC_LEN)[None, :])
     T = r[:, idx]  # (F, 12, 12) Toeplitz
     v = -r[:, 1:]

@@ -84,3 +84,17 @@ def test_pitch_finds_period_multiple(rng):
     args, _, _ = jf.pitch_run(x, 3)
     near_multiple = np.abs(((args[1:] + 64) % 128) - 64) <= 2
     assert near_multiple.all(), args
+
+
+def test_lpc_levinson_matches_solve(rng):
+    """Levinson-Durbin (the TPU fast solver) == explicit Toeplitz solve."""
+    import jax.numpy as jnp
+
+    x = _speech(rng, 256 * 9 + 40)
+    want = olpc.run(x)
+    blocks = np.concatenate([x[: len(x) // 256 * 256].reshape(-1, 256)])
+    prev = np.concatenate([np.zeros((1, 256), np.int16), blocks[:-1]])
+    frames = np.concatenate([prev, blocks], axis=1)
+    a = np.asarray(jf.lpc_frames(jnp.asarray(frames), dtype=jnp.float64, solver="levinson"))
+    b = np.asarray(jf.lpc_frames(jnp.asarray(frames), dtype=jnp.float64, solver="solve"))
+    np.testing.assert_allclose(a, b, rtol=1e-9, atol=1e-10)

@@ -189,3 +189,41 @@ def test_score_all_classes_matches_loop():
         mgmm.score_frames_all_classes(jnp.asarray(frames), *(jnp.asarray(s) for s in stacked))
     )
     np.testing.assert_allclose(batched, loop, rtol=1e-12)
+
+
+def test_hmm_trainer_segments_and_decodes(rng):
+    """Segmental Viterbi training (framework extension; the reference has no
+    HMM trainer): on an utterance with three well-separated spectral
+    segments, the trained HMM's decode must give a near-piecewise-constant
+    path whose segments distinguish the three true regions."""
+    import jax.numpy as jnp
+
+    from jeicyboodsp_tpu.models.hmm import train_hmm
+
+    T = 120
+    centers = np.array(
+        [[8.0] + [0.0] * 11, [0.0, 8.0] + [0.0] * 10, [0.0, 0.0, 8.0] + [0.0] * 9]
+    )
+    truth = np.repeat([0, 1, 2], T // 3)
+    # anisotropic noise (leading variance on the differing dims): the
+    # compat scorer discriminates in each state's top-4 PCA space, so the
+    # separating directions must carry the leading covariance -- as real
+    # MFCC dims do
+    sig = np.array([1.0, 1.0, 1.0, 1.0] + [0.05] * 8)
+    frames = centers[truth] + rng.normal(0, 1, (T, 12)) * sig
+
+    out = train_hmm(jnp.asarray(frames, jnp.float32), n_iter=3)
+    path = np.asarray(out["path"])
+    assert path.shape == (T,)
+    assert np.isfinite(float(out["score"]))
+    # with 6 states over 3 spectral regions, states sub-divide regions (the
+    # left-to-right idiom); the invariant is state PURITY: every state's
+    # frames must come from a single true region, and all regions covered
+    covered = set()
+    for s in np.unique(path):
+        labels, cnt = np.unique(truth[path == s], return_counts=True)
+        assert cnt.max() / cnt.sum() > 0.75, (s, labels, cnt)
+        covered.add(int(labels[np.argmax(cnt)]))
+    assert covered == {0, 1, 2}, covered
+    # and the path must be near-piecewise-constant (few transitions)
+    assert (np.diff(path) != 0).sum() <= 12, path
