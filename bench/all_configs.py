@@ -467,15 +467,15 @@ def main(groups=None):
         def p_chain23(fr, n, m):
             def body(i, carry):
                 cur, acc = carry
-                eng = "mxu" if m == 3 else "xla"  # m3: WK matmul; m2: AMDF has no FFT form
-                args, vals, f0 = pitch_frames(cur, method=m, dtype=jnp.float32, fft_engine=eng)
+                # m3: Wiener-Khinchin matmul; m2: VMEM-resident Pallas AMDF
+                args, vals, f0 = pitch_frames(cur, method=m, dtype=jnp.float32, fft_engine="mxu")
                 return cur + (args[:, None] % 2).astype(jnp.int16), acc + jnp.sum(args)
 
             return jax.lax.fori_loop(0, n, body, (fr, jnp.int64(0) if False else jnp.int32(0)))[1]
 
         per = amortized(
             lambda k: jax.device_get(p_chain23(frames[:2048], k, method)),
-            n1=5, n2=105 if method == 3 else 25,  # m3 is sub-ms (WK matmul)
+            n1=5, n2=105 if method == 3 else 25,
         )
         base = cpp_sps(name, lambda: (["/tmp/b_p.wav"], None), fs * 60)
         results[name] = {"tpu_sps": 2048 * 512 / per, "cpp_sps": base}

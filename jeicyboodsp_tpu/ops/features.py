@@ -262,6 +262,13 @@ def pitch_frames(frames, method: int = 1, dtype=jnp.float64, fft_engine: str = "
             P = X.real ** 2 + X.imag ** 2
             ac = jnp.fft.ifft(P.astype(ctype)).real[:, :_PITCH_BLOCK]
         arg, val = _pick(ac, True)
+    elif method == 2 and fft_engine != "xla":
+        # AMDF has no FFT form; the fast path is the VMEM-resident Pallas
+        # kernel (one HBM read per frame instead of one per lag)
+        from jeicyboodsp_tpu.kernels.amdf_pallas import amdf_pallas
+
+        ac = amdf_pallas(u).astype(dtype)
+        arg, val = _pick(ac, False)
     elif method == 3 and fft_engine.startswith("mxu"):
         # linear autocorrelation == Wiener-Khinchin on the zero-padded frame:
         # rdft(2048) -> power -> one cosine matmul; exact same sums as the

@@ -103,3 +103,16 @@ def test_nlms_pallas_matches_oracle(rng, snr):
     # double-single coefficient state makes the kernel bit-exact vs the
     # f64 oracle (plain-f32 coeff accumulation was the ~55 dB error floor)
     assert (got_e.astype(np.int64) == want_e.astype(np.int64)).all()
+
+
+def test_amdf_kernel_matches_masked_reference(rng):
+    """VMEM-resident AMDF == the reference's masked time-domain loop."""
+    from jeicyboodsp_tpu.kernels.amdf_pallas import amdf_pallas
+
+    T, n = 5, 1024
+    u = rng.integers(-3000, 3000, (T, n)).astype(np.float32)
+    want = np.zeros((T, 512), np.float32)
+    for k in range(512):
+        want[:, k] = np.abs(u[:, : n - k] - u[:, k:]).sum(axis=1) / (n - k)
+    got = np.asarray(amdf_pallas(jnp.asarray(u), interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-3)
