@@ -259,6 +259,31 @@ def main(groups=None):
         "snr_db": snr_db(pe, got),
     }
 
+    # ---------------- BNLMS (Pallas df32, bit-exact compat, 1024 streams) ----
+    from jeicyboodsp_tpu.kernels.nlms_pallas import bnlms_pallas
+
+    Bbn, Tbn = 1024, 65536
+    xbn = jnp.asarray(rng.integers(-3000, 3000, (Bbn, Tbn)).astype(np.int16))
+    rbn = jnp.asarray(rng.integers(-3000, 3000, (Bbn, Tbn)).astype(np.int16))
+
+    @partial(jax.jit, static_argnames=("k",))
+    def bnp_chain(xx, rr, k):
+        def body(i, acc):
+            e1, _ = bnlms_pallas(acc, rr)
+            return acc + (e1 & 1)
+
+        return jax.lax.fori_loop(0, k, body, xx)
+
+    per = amortized(lambda k: jax.device_get(bnp_chain(xbn, rbn, k)[0, :4]))
+    gb = np.asarray(
+        bnlms_pallas(jnp.asarray(xb_[None, : 16 * 1024]), jnp.asarray(rb_[None, : 16 * 1024]))[0]
+    )[0][1024:]
+    results["bnlms_pallas"] = {
+        "tpu_sps": Bbn * Tbn / per,
+        "cpp_sps": base,
+        "kernel_exact_vs_oracle": bool((gb.astype(np.int64) == pe.astype(np.int64)).all()),
+    }
+
     # ---------------- MVDR ----------------
     from jeicyboodsp_tpu.ops.mvdr import mvdr_blocks
 

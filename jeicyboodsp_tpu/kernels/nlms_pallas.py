@@ -97,6 +97,154 @@ def _kernel(x_ref, r_ref, est_ref, err_ref, W, V, C, CL):
     jax.lax.fori_loop(0, T, step, 0)
 
 
+BN_TAPS = 128
+BN_BLOCK = 1024
+BN_KEEP = 127
+BN_MU = 0.01
+BN_EPS = 0.00001
+
+
+def _bnlms_kernel(x_ref, r_ref, gate_ref, est_ref, err_ref, W, V, C, CL, G, GL):
+    """Block NLMS (``BNLMS.cpp:103-162``): coefficients FROZEN across the
+    1024-sample block, gradient accumulated per sample and applied once at
+    the block boundary (averaged by BLOCK_LEN, gated by the double-talk
+    detector).  Same reversed-estimate / direct-update pairing quirk as the
+    per-sample kernel (BNLMS.cpp:126-128 vs :144), so the window is kept in
+    both age orders.  Coefficient state AND the gradient accumulator are
+    double-single f32: the per-sample gradient terms are ~1e-7 of the block
+    sum and plain-f32 accumulation loses the bits that decide int16
+    truncations downstream.  The gate is per-stream, precomputed host-side
+    (it depends only on the inputs, never on coefficient state)."""
+    t_idx = pl.program_id(1)
+
+    @pl.when(t_idx == 0)
+    def _():
+        W[:, :] = jnp.zeros_like(W)
+        V[:, :] = jnp.zeros_like(V)
+        C[:, :] = jnp.zeros_like(C)
+        CL[:, :] = jnp.zeros_like(CL)
+
+    G[:, :] = jnp.zeros_like(G)
+    GL[:, :] = jnp.zeros_like(GL)
+
+    def step(t, _):
+        xt = x_ref[t, :]
+        W[:, :] = pltpu.roll(W[:, :], BN_TAPS - 1, 0)
+        W[BN_TAPS - 1, :] = xt
+        V[:, :] = pltpu.roll(V[:, :], 1, 0)
+        V[0, :] = xt
+        w = W[:, :]
+        y = jnp.sum(C[:, :] * V[:, :], axis=0) + jnp.sum(CL[:, :] * V[:, :], axis=0)
+        y_s = _c_short_f32(y)
+        est_ref[t, :] = y_s
+        e = r_ref[t, :] - y_s
+        err_ref[t, :] = _c_short_f32(e)
+        norm = jnp.sum(w * w, axis=0)
+        gi = (2.0 * BN_MU) * e / (norm + BN_EPS)
+        s, lo = _two_sum(G[:, :], gi[None, :] * w)
+        lo = lo + GL[:, :]
+        hi = s + lo
+        GL[:, :] = lo - (hi - s)
+        G[:, :] = hi
+        return 0
+
+    jax.lax.fori_loop(0, BN_BLOCK, step, 0)
+
+    gate = gate_ref[0, :]  # 1.0 = update (not double talk)
+    upd_hi = G[:, :] * (gate[None, :] / BN_BLOCK)  # /1024 exact (power of 2)
+    upd_lo = GL[:, :] * (gate[None, :] / BN_BLOCK)
+    s, lo = _two_sum(C[:, :], upd_hi)
+    lo = lo + CL[:, :] + upd_lo
+    hi = s + lo
+    CL[:, :] = lo - (hi - s)
+    C[:, :] = hi
+
+
+def _bnlms_gates(xp, rp):
+    """Double-talk gate per (block, stream), vectorized (BNLMS.cpp:164-186).
+
+    corr[k] = sum_i u[i]*r[i+k] / (2*BLOCK-k) over the 1151-sample
+    processing buffers (keep(127) + block), out-of-bounds reads defined as
+    zero (see oracle module docstring); update fires iff max_k corr[k] > 0.
+    Pure function of the inputs -- computed once, batched over every block of
+    every stream with one rfft, and handed to the kernel as a (Tb, B) flag
+    plane.  f32 FFT: the sign decision matches the f64 oracle except when
+    max|corr| is within FFT rounding of zero (probes are far from it)."""
+    B, T = xp.shape
+    tb = T // BN_BLOCK
+    xb = xp.reshape(B, tb, BN_BLOCK)
+    rb = rp.reshape(B, tb, BN_BLOCK)
+
+    def with_keep(blocks):
+        halo = jnp.pad(blocks, ((0, 0), (1, 0), (0, 0)))[:, :-1, BN_BLOCK - BN_KEEP :]
+        return jnp.concatenate([halo, blocks], axis=-1)  # (B, tb, 1151)
+
+    u = with_keep(xb)
+    r = with_keep(rb)
+    m = 4 * BN_BLOCK
+    U = jnp.fft.rfft(u, m)
+    R = jnp.fft.rfft(r, m)
+    corr = jnp.fft.irfft(jnp.conj(U) * R, m)[..., :BN_BLOCK]
+    corr = corr / (2.0 * BN_BLOCK - jnp.arange(BN_BLOCK, dtype=jnp.float32))
+    return (jnp.max(corr, axis=-1) > 0.0).astype(jnp.float32)  # (B, tb)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def bnlms_pallas(x, ref, interpret: bool = False):
+    """Batched block-NLMS streams: x, ref (B, T) -> (est, err) (B, T) int16.
+
+    Bit-exact-compat fast path for ``BNLMS.cpp`` on TPU (the f64 anchor is
+    the native C++ kernel): double-single coefficient/gradient state; every
+    stream starts from zero coefficients; the caller drops the first block
+    (BNLMS.cpp suppresses it).  T is padded to a 1024 multiple with zeros.
+    """
+    B, T = x.shape
+    if x.shape != ref.shape:
+        raise ValueError(f"x/ref shape mismatch: {x.shape} vs {ref.shape}")
+    if B == 0 or T == 0:  # Mosaic rejects zero-sized operands
+        return jnp.zeros((B, T), jnp.int16), jnp.zeros((B, T), jnp.int16)
+    Bp = -(-B // LANES) * LANES
+    Tp = -(-T // BN_BLOCK) * BN_BLOCK
+    xp = jnp.zeros((Bp, Tp), jnp.float32).at[:B, :T].set(x.astype(jnp.float32))
+    rp = jnp.zeros((Bp, Tp), jnp.float32).at[:B, :T].set(ref.astype(jnp.float32))
+    # (tb, Bp) replicated to 8 sublanes per block row (Mosaic tile minimum)
+    gates = jnp.repeat(_bnlms_gates(xp, rp).T, 8, axis=0)
+
+    grid = (Bp // LANES, Tp // BN_BLOCK)
+    est, err = pl.pallas_call(
+        _bnlms_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((Tp, Bp), jnp.float32),
+            jax.ShapeDtypeStruct((Tp, Bp), jnp.float32),
+        ),
+        grid_spec=pl.GridSpec(
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((BN_BLOCK, LANES), lambda i, j: (j, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((BN_BLOCK, LANES), lambda i, j: (j, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, LANES), lambda i, j: (j, i), memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((BN_BLOCK, LANES), lambda i, j: (j, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((BN_BLOCK, LANES), lambda i, j: (j, i), memory_space=pltpu.VMEM),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((BN_TAPS, LANES), jnp.float32),
+                pltpu.VMEM((BN_TAPS, LANES), jnp.float32),
+                pltpu.VMEM((BN_TAPS, LANES), jnp.float32),
+                pltpu.VMEM((BN_TAPS, LANES), jnp.float32),
+                pltpu.VMEM((BN_TAPS, LANES), jnp.float32),
+                pltpu.VMEM((BN_TAPS, LANES), jnp.float32),
+            ],
+        ),
+        interpret=interpret,
+    )(xp.T, rp.T, gates)
+    return (
+        est.T[:B, :T].astype(jnp.int16),
+        err.T[:B, :T].astype(jnp.int16),
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def nlms_pallas(x, ref, interpret: bool = False):
     """x, ref: (B, T) int16/float -> (est, err) (B, T) int16 (f32 compute).

@@ -190,10 +190,21 @@ def run_nlms_stream(x, ref, dtype=jnp.float64, use_native=True):
     return np.asarray(est).reshape(xb.shape)[1:].reshape(-1), np.asarray(err).reshape(xb.shape)[1:].reshape(-1)
 
 
-def run_bnlms_stream(x, ref, dtype=jnp.float64, use_native=True):
+def run_bnlms_stream(x, ref, dtype=jnp.float64, use_native=True, use_pallas=False):
+    """use_pallas=True routes through the df32 TPU kernel
+    (:func:`jeicyboodsp_tpu.kernels.nlms_pallas.bnlms_pallas`) -- the
+    bit-exact-on-TPU compat path; default stays the native f64 CPU kernel."""
     n = min(len(x), len(ref))
     xb = _blockify(x[:n], BLOCK_LEN)
     rb = _blockify(ref[:n], BLOCK_LEN)
+    if use_pallas:
+        from jeicyboodsp_tpu.kernels.nlms_pallas import bnlms_pallas
+
+        if xb.shape[0] == 0:
+            return np.zeros(0, np.int16), np.zeros(0, np.int16)
+        est, err = bnlms_pallas(jnp.asarray(xb.reshape(1, -1)), jnp.asarray(rb.reshape(1, -1)))
+        # first block not written (BNLMS.cpp warm-up)
+        return np.asarray(est)[0, BLOCK_LEN:], np.asarray(err)[0, BLOCK_LEN:]
     if use_native and dtype == jnp.float64:
         from jeicyboodsp_tpu import native
 

@@ -105,6 +105,34 @@ def test_nlms_pallas_matches_oracle(rng, snr):
     assert (got_e.astype(np.int64) == want_e.astype(np.int64)).all()
 
 
+def test_bnlms_pallas_matches_oracle(rng):
+    """df32 block-NLMS kernel is int16-exact vs the f64 bit-exact oracle,
+    including the gated (double-talk) no-update path."""
+    from jeicyboodsp_tpu.kernels.nlms_pallas import bnlms_pallas
+    from jeicyboodsp_tpu.oracle import nlms as onl
+
+    n = 1024 * 3
+    x = np.clip(rng.normal(0, 3000, n), -32768, 32767).astype(np.int16)
+    h = rng.normal(0, 0.1, 24)
+    h[0] = 0.6
+    ref = np.clip(np.convolve(x.astype(np.float64), h)[:n], -32768, 32767).astype(np.int16)
+    # second stream: anti-correlated ref -> gate blocks the update
+    ref2 = np.clip(-ref.astype(np.int32), -32768, 32767).astype(np.int16)
+
+    want = []
+    for r in (ref, ref2):
+        st = onl.BNLMSState()
+        es = [onl.bnlms_block(st, x[s : s + 1024], r[s : s + 1024])[0] for s in range(0, n, 1024)]
+        want.append(np.concatenate(es))
+    want = np.stack(want)
+
+    est, err = bnlms_pallas(
+        jnp.asarray(np.stack([x, x])), jnp.asarray(np.stack([ref, ref2])), interpret=True
+    )
+    got = np.asarray(est)
+    assert (got.astype(np.int64) == want.astype(np.int64)).all()
+
+
 def test_amdf_kernel_matches_masked_reference(rng):
     """VMEM-resident AMDF == the reference's masked time-domain loop."""
     from jeicyboodsp_tpu.kernels.amdf_pallas import amdf_pallas
