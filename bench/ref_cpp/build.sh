@@ -1,8 +1,10 @@
 #!/bin/bash
 # Build the reference programs for baseline measurement / oracle validation.
-# Eigen-dependent programs (MVDR, LPC, GMM, Viterbi) are skipped: no Eigen here.
+# Eigen-dependent programs build against shim/Eigen (MatrixXd + a cyclic-Jacobi
+# EigenSolver for the GMM trainer's symmetric 12x12 eigendecompositions).
 set -e
 cd "$(dirname "$0")"
+mkdir -p bin
 REF=/root/reference
 CXXFLAGS="-O2 -std=c++14 -w -I shim"
 g++ $CXXFLAGS -c -o bin/main_wrap.o main_wrap.cpp
@@ -29,3 +31,6 @@ build PitchEstimation_method3.cpp pitch3
 build AnalysisAdditiveWhiteGaussianNoise.cpp awgn
 build BeamForming_MVDR_ver1.cpp mvdr
 build LPCEstimation.cpp lpc
+build GMMAlgorithm_Train_Auto_ver2.cpp gmm_train
+build GMMAlgorithm_Test_Auto_ver2.cpp gmm_test
+build Viterbi_version1.cpp viterbi

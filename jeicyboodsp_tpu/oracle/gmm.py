@@ -59,7 +59,14 @@ class GMMParams:
 
 
 def _top_eigpairs(cov: np.ndarray, k: int):
-    """Descending eigenvalues, first-index tie semantics; sign-invariant."""
+    """Descending eigenvalues, first-index tie semantics; sign-invariant.
+
+    Non-finite covariances (empty k-means cluster -> 0/0) propagate NaN,
+    exactly as Eigen's unchecked EigenSolver does in the reference binary,
+    instead of raising LAPACK's non-convergence error.
+    """
+    if not np.all(np.isfinite(cov)):
+        return np.full(k, np.nan), np.full((cov.shape[0], k), np.nan)
     vals, vecs = np.linalg.eigh(cov)
     order = np.argsort(-vals, kind="stable")
     return vals[order[:k]], vecs[:, order[:k]]

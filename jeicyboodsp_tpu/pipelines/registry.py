@@ -183,7 +183,14 @@ def gmm_test(list_file: str, model_path: str, emulate_layout_mismatch: bool = Tr
                 continue
             frames = np.fromfile(p.strip(), dtype="<f8").reshape(-1, 12)
             scores = [float(G.score_frames(frames, *m)) for m in models]
-            pred = int(np.argmax(scores))
+            # reference argmax (GMMAlgorithm_Test_Auto_ver2.cpp:117-124):
+            # strict dMax < s, first-wins; NaN comparisons keep the incumbent
+            # (np.argmax would return the first NaN index instead -- the
+            # mismatched-layout model makes NaN scores the COMMON case)
+            pred, best = 0, scores[0]
+            for u in range(1, len(scores)):
+                if best < scores[u]:
+                    best, pred = scores[u], u
             print(f"{ci + 1} -th result {pred + 1}")
             results.append((ci, pred, scores))
     return results
