@@ -488,3 +488,51 @@ def em_step_sharded(frames, mask, alpha, mean, cov, mesh, axis: str = "data"):
         return alpha_new, mean_new, cov_new
 
     return run(frames, mask, alpha, mean, cov)
+
+
+def geq_sharded(x, b, a, mesh, dtype=jnp.float64, axis: str = "time"):
+    """Time-sharded fast-mode 7-band GEQ (SURVEY §5: "blocked biquad via
+    state-space matrices" under sequence parallelism).
+
+    The linear cascade (ops.geq.geq_apply_fast, the un-quantized counterpart
+    of ``7Band_GEQ.cpp:261-289``'s carried-state recursion) is, per band, an
+    affine 2x2 state-space recursion -- an associative monoid -- so the time
+    axis shards exactly: each band runs a local associative scan, one
+    all_gather of per-shard 2x2 aggregates composes the cross-shard prefix,
+    and a 2-sample ppermute halo supplies the FIR taps at shard boundaries.
+
+    x: (N,) samples, N divisible by the mesh axis size.  Exactly equals
+    ``geq_apply_fast`` in f64 (f32 overflows at the 44 Hz shelf's near-unity
+    pole on either path; the stable f32 compat path is the Pallas kernel).
+    """
+    from jeicyboodsp_tpu.ops.geq import TOTAL_BANDS
+
+    n_shards = mesh.shape[axis]
+    assert x.shape[0] % n_shards == 0, (x.shape, n_shards)
+    b = jnp.asarray(b, dtype)
+    a = jnp.asarray(a, dtype)
+    eye2 = jnp.eye(2, dtype=dtype)
+
+    def combine(l, r):
+        Al, bl = l
+        Ar, br = r
+        return Ar @ Al, jnp.einsum("...ij,...j->...i", Ar, bl) + br
+
+    @functools.partial(jax.shard_map, mesh=mesh, in_specs=P(axis), out_specs=P(axis))
+    def run(xl):
+        y = xl.astype(dtype)
+        for k in range(TOTAL_BANDS):
+            halo = left_halo(y[:, None], 2, axis)[:, 0]  # y[t0-2], y[t0-1]
+            y1 = jnp.concatenate([halo[1:], y[:-1]])
+            y2 = jnp.concatenate([halo, y[:-2]])
+            f = b[k, 0] * y + b[k, 1] * y1 + b[k, 2] * y2
+            A = jnp.array([[-a[k, 1], -a[k, 2]], [1.0, 0.0]], dtype)
+            As = jnp.broadcast_to(A, (y.shape[0], 2, 2))
+            Bs = jnp.stack([f, jnp.zeros_like(f)], axis=-1)
+            (_, s), _ = sharded_associative_scan(
+                combine, (As, Bs), axis, (eye2, jnp.zeros((2,), dtype))
+            )
+            y = s[:, 0]
+        return y
+
+    return run(x)

@@ -143,3 +143,18 @@ def test_enhance_sharded2d_exact(rng):
         want, wmask = E.enhance_blocks(blocks[bi], mode="wiener", dtype=jnp.float64)
         np.testing.assert_array_equal(np.asarray(wmask), np.asarray(gmask)[bi][:, 0] if np.asarray(gmask)[bi].ndim > 1 else np.asarray(gmask)[bi])
         _assert_lsb_equal(np.asarray(want), np.asarray(got)[bi])
+
+
+def test_geq_sharded_matches_fast(rng):
+    """Time-sharded GEQ linear cascade == geq_apply_fast (f64), closing the
+    last non-AEC sequential-state pipeline without a sharded variant."""
+    from jeicyboodsp_tpu.ops.geq import geq_apply_fast, geq_coefficients
+
+    n = 512 * 16
+    x = np.clip(rng.normal(0, 3000, n), -32768, 32767).astype(np.int16)
+    b, a = geq_coefficients()
+    want = np.asarray(geq_apply_fast(jnp.asarray(x), b, a, dtype=jnp.float64))
+    got = np.asarray(S.geq_sharded(jnp.asarray(x), b, a, _mesh(), dtype=jnp.float64))
+    # different reduction grouping across shards: ulp-level relative error,
+    # amplified through the 44 Hz shelf's near-unity pole
+    np.testing.assert_allclose(got, want, rtol=1e-7, atol=1e-5)
