@@ -528,6 +528,27 @@ def main(groups=None):
     per = amortized(lambda k: jax.device_get(vit_chain(feats, k)), n1=1, n2=5)
     results["viterbi_decode"] = {"frames_per_s": F / per}
 
+    # ---------------- batched (corpus) Viterbi decode ----------------
+    from jeicyboodsp_tpu.models.hmm import viterbi_batched
+
+    U, Tv = 512, 512  # utterances x frames: the corpus-decode axis
+    featsB = jnp.asarray(rng.normal(0, 1.0, (U, Tv, 12)).astype(np.float32))
+    lensB = jnp.full((U,), Tv, jnp.int32)
+
+    @partial(jax.jit, static_argnames=("n",))
+    def vitb_chain(f0, n):
+        def body(i, carry):
+            cur, acc = carry
+            paths, scores = viterbi_batched(
+                cur, lensB, alpha6, mean6, cov6, eig6, trans, compat=False
+            )
+            return cur + (paths[..., None] % 2).astype(jnp.float32) * 1e-6, acc + jnp.sum(scores)
+
+        return jax.lax.fori_loop(0, n, body, (f0, jnp.float32(0)))[1]
+
+    per = amortized(lambda k: jax.device_get(vitb_chain(featsB, k)), n1=1, n2=5)
+    results["viterbi_decode_batched"] = {"frames_per_s": U * Tv / per, "utterances": U}
+
     # ---------------- end-to-end speech pipeline (no file boundaries) ----------------
     # reference equivalent: MFCC + GMM-train + GMM-test chained via binary
     # feature files across three processes; here one jitted graph each.

@@ -109,6 +109,62 @@ def viterbi(frames, alpha, mean, cov, eigvec, trans, compat: bool = True):
     return path, jnp.max(p_last)
 
 
+@functools.partial(jax.jit, static_argnames=("compat",))
+def viterbi_batched(frames, lengths, alpha, mean, cov, eigvec, trans, compat: bool = False):
+    """Corpus decode: vmap over utterances with padded masks.
+
+    frames: (U, T, 12) zero-padded; lengths: (U,) true frame counts.
+    Returns (paths (U, T), scores (U,)).  For ``compat=False`` the DP and
+    backtrace treat steps past an utterance's length as identity, so each
+    utterance's score/path equal the unpadded single-utterance decode
+    (path entries at t >= length are padding).  ``compat=True`` vmaps the
+    reference-quirk decode and requires equal lengths (its score is read at
+    t=1, so tail padding would still change the returned per-time path) --
+    asserted by the caller's data, not checkable under jit.
+
+    The reference decodes one utterance per file read (Viterbi_version1.cpp
+    :91-137, one HMMRecognition per .mfc); batching over utterances is the
+    framework's throughput axis (one MXU pass for all emissions).
+    """
+    if compat:
+        paths, scores = jax.vmap(
+            lambda f: viterbi(f, alpha, mean, cov, eigvec, trans, compat=True)
+        )(frames)
+        return paths, scores
+
+    def one(f, n):
+        T = f.shape[0]
+        emis = emissions(f, alpha, mean, cov, eigvec)  # (T, 6)
+        log_emis = jnp.log(emis)
+        log_trans = jnp.log(trans)
+        p0 = log_emis[0] + jnp.log(1.0 / NUM_OF_STATE)
+
+        def step(carry, x):
+            p_prev = carry
+            le_t, t = x
+            cand = p_prev[:, None] + log_trans + le_t[None, :]
+            p_new = jnp.max(cand, axis=0)
+            back = jnp.argmax(cand, axis=0)
+            live = t < n
+            p_new = jnp.where(live, p_new, p_prev)
+            back = jnp.where(live, back, jnp.arange(NUM_OF_STATE))
+            return p_new, (p_new, back)
+
+        ts = jnp.arange(1, T)
+        p_last, (P, back) = jax.lax.scan(step, p0, (log_emis[1:], ts))
+        last = jnp.argmax(p_last)
+
+        def bt(state, b_t):
+            prev = b_t[state]
+            return prev, state
+
+        _, path_rev = jax.lax.scan(bt, last, back, reverse=True)
+        path = jnp.concatenate([path_rev, last[None]])
+        return path, jnp.max(p_last)
+
+    return jax.vmap(one)(frames, lengths)
+
+
 def train_hmm(frames, n_iter: int = 3):
     """Segmental (Viterbi) HMM training -- a capability the reference never
     had: its Viterbi program reads foreign model files

@@ -227,3 +227,99 @@ def test_hmm_trainer_segments_and_decodes(rng):
     assert covered == {0, 1, 2}, covered
     # and the path must be near-piecewise-constant (few transitions)
     assert (np.diff(path) != 0).sum() <= 12, path
+
+
+def test_viterbi_batched_matches_single():
+    """Corpus decode (vmap + padded masks) == per-utterance decode, ragged
+    lengths; compat vmap == per-utterance compat on equal lengths."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(31)
+    states = []
+    for s in range(6):
+        a = np.full(4, 0.25)
+        m = np.zeros((4, 12))
+        m[:, :4] = rng.normal(0, 3, (4, 4))
+        cv = np.stack([np.eye(12) * (0.5 + 0.2 * k) for k in range(4)])
+        e, _ = np.linalg.qr(rng.normal(0, 1, (12, 12)))
+        e4 = np.stack([e[:, k : k + 4] for k in range(4)])
+        states.append((a, m, cv, e4))
+    alpha6 = jnp.asarray(np.stack([s[0] for s in states]))
+    mean6 = jnp.asarray(np.stack([s[1] for s in states]))
+    cov6 = jnp.asarray(np.stack([s[2] for s in states]))
+    ev6 = jnp.asarray(np.stack([s[3] for s in states]))
+    trans = rng.uniform(0.05, 1.0, (6, 6))
+    trans /= trans.sum(axis=1, keepdims=True)
+    transj = jnp.asarray(trans)
+
+    lengths = [20, 14, 17]
+    utts = [rng.normal(0, 2, (n, 12)) for n in lengths]
+    padded = np.zeros((3, 20, 12))
+    for i, u in enumerate(utts):
+        padded[i, : len(u)] = u
+
+    paths, scores = mhmm.viterbi_batched(
+        jnp.asarray(padded), jnp.asarray(lengths), alpha6, mean6, cov6, ev6,
+        transj, compat=False,
+    )
+    for i, u in enumerate(utts):
+        p1, s1 = mhmm.viterbi(jnp.asarray(u), alpha6, mean6, cov6, ev6, transj, compat=False)
+        np.testing.assert_array_equal(np.asarray(paths)[i, : lengths[i]], np.asarray(p1))
+        np.testing.assert_allclose(float(np.asarray(scores)[i]), float(s1), rtol=1e-6)
+
+    # compat mode, equal lengths
+    eq = np.stack([rng.normal(0, 2, (16, 12)) for _ in range(3)])
+    pc, sc = mhmm.viterbi_batched(
+        jnp.asarray(eq), jnp.asarray([16, 16, 16]), alpha6, mean6, cov6, ev6,
+        transj, compat=True,
+    )
+    for i in range(3):
+        p1, s1 = mhmm.viterbi(jnp.asarray(eq[i]), alpha6, mean6, cov6, ev6, transj, compat=True)
+        np.testing.assert_array_equal(np.asarray(pc)[i], np.asarray(p1))
+        if np.isnan(float(s1)):
+            assert np.isnan(float(np.asarray(sc)[i]))
+        else:
+            np.testing.assert_allclose(float(np.asarray(sc)[i]), float(s1), rtol=1e-9)
+
+
+def test_hmm_trainer_recovers_known_parameters():
+    """train_hmm on data sampled from a KNOWN left-to-right HMM: recovered
+    state means (back-projected from the PCA export) and self-loop-heavy
+    transition structure must match the generator within tolerance."""
+    import jax.numpy as jnp
+
+    from jeicyboodsp_tpu.models.hmm import train_hmm
+
+    rng = np.random.default_rng(47)
+    true_means = np.zeros((6, 12))
+    for s in range(6):
+        true_means[s, s] = 10.0  # orthogonal, well-separated state centers
+    # monotone path: ~25 frames per state, self-loop prob ~0.96
+    durations = rng.integers(22, 29, 6)
+    truth = np.concatenate([np.full(d, s) for s, d in enumerate(durations)])
+    T = len(truth)
+    sig = np.array([1.0] * 6 + [0.1] * 6)  # separating dims carry variance
+    frames = true_means[truth] + rng.normal(0, 1, (T, 12)) * sig
+
+    out = train_hmm(jnp.asarray(frames, jnp.float32), n_iter=4)
+    path = np.asarray(out["path"])
+    # mixture-weighted state means, back-projected from the PCA-8 export
+    alpha = np.asarray(out["alpha"])  # (6, 4)
+    mean8 = np.asarray(out["mean"])  # (6, 4, 12): [:8] = projected
+    ev8 = np.asarray(out["eigvec"])  # (6, 4, 12, 8)
+    state_mean = np.einsum(
+        "sk,ski->si", alpha, np.einsum("skij,skj->ski", ev8, mean8[..., :8])
+    ) / alpha.sum(axis=1, keepdims=True)
+    for s in range(6):
+        # uniform-segmentation init on a monotone path keeps labels aligned;
+        # decode-boundary bleed contaminates neighbor dims by a few frames'
+        # worth, so assert dominant-direction recovery, not per-dim atol
+        assert int(np.argmax(np.abs(state_mean[s]))) == s, state_mean[s]
+        assert abs(state_mean[s][s] - 10.0) < 2.0, state_mean[s]
+        off = np.delete(state_mean[s], s)
+        assert np.abs(off).max() < 2.5, state_mean[s]
+    # transitions: left-to-right structure, heavy self-loops
+    trans = np.asarray(out["trans"])
+    assert (np.diag(trans) > 0.7).all(), np.diag(trans)
+    # decode reproduces the generating path almost everywhere
+    assert (path == truth).mean() > 0.9, (path, truth)
