@@ -129,6 +129,18 @@ def main():
     baseline = measure_cpp_baseline(make_signal(FS * 60, rng))
     vs = sps / baseline if baseline else None
 
+    # on-hardware kernel correctness (VERDICT r1 item 3): the driver's bench
+    # run also proves the Pallas kernels' bit-exact contracts on real Mosaic
+    # codegen, not just speed.  BENCH_SKIP_CHECKS=1 skips (e.g. quick loops).
+    checks = None
+    if not os.environ.get("BENCH_SKIP_CHECKS"):
+        try:
+            from jeicyboodsp_tpu.utils.tpu_checks import run_checks
+
+            checks = run_checks()
+        except Exception as e:  # report, never mask the headline number
+            checks = {"error": repr(e)[:200], "all_ok": False}
+
     print(
         json.dumps(
             {
@@ -139,6 +151,7 @@ def main():
                 "snr_db_vs_reference": round(snr_db, 1),
                 "baseline_cpp_samples_per_sec": round(baseline, 1) if baseline else None,
                 "device": str(dev),
+                "tpu_kernel_checks": checks,
             }
         )
     )

@@ -20,6 +20,8 @@ Pipelines and their positional arguments mirror the reference programs:
     gmm-train LIST MODEL        GMM training               (GMMAlgorithm_Train...)
     gmm-test LIST MODEL         GMM classification         (GMMAlgorithm_Test...)
     viterbi LIST MODEL          HMM/Viterbi decoding       (Viterbi_version1)
+    stream IN OUT [MODE]        resumable streaming enhancement with
+                                checkpoint/fault-injection flags (new)
 """
 
 from __future__ import annotations
@@ -45,6 +47,11 @@ def main(argv=None):
         help="FFT engine for --fast pipelines that support it "
         "(mxu3 = 3-pass MXU matmul DFT, the TPU speed path)",
     )
+    parser.add_argument("--ckpt", default=None, help="stream: checkpoint file (resume if present)")
+    parser.add_argument("--ckpt-every", type=int, default=4, help="stream: chunks between checkpoints")
+    parser.add_argument("--chunk-blocks", type=int, default=4, help="stream: blocks per chunk")
+    parser.add_argument("--crash-after", type=int, default=None,
+                        help="stream: fault injector -- hard-exit after N chunks")
     ns = parser.parse_args(argv)
 
     import jax
@@ -71,6 +78,11 @@ def main(argv=None):
         kw["dtype"] = jnp.float32
         if ns.engine:
             kw["fft_engine"] = ns.engine
+    if ns.pipeline == "stream":
+        kw.update(
+            ckpt=ns.ckpt, ckpt_every=ns.ckpt_every,
+            chunk_blocks=ns.chunk_blocks, crash_after_chunks=ns.crash_after,
+        )
     PIPELINES[ns.pipeline](*ns.args, **kw)
     return 0
 

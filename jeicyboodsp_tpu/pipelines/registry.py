@@ -221,6 +221,78 @@ def viterbi(list_file: str, model_path: str, compat: bool = True, **kw):
     return out
 
 
+def stream_enhance(
+    inp: str,
+    out: str,
+    mode: str = "wiener",
+    ckpt: str | None = None,
+    ckpt_every: int = 4,
+    chunk_blocks: int = 4,
+    crash_after_chunks: int | None = None,
+    **kw,
+):
+    """Resumable block-streaming enhancement at the file surface -- the
+    elastic-recovery story (SURVEY §5): checkpoint = carries + block offset
+    + output byte count, so a killed run resumes from block k and produces
+    output BYTE-IDENTICAL to an uninterrupted run.
+
+    The checkpoint is one atomically-replaced npz holding the session state
+    pytree AND the file offsets: the output file is fsync'd before the
+    checkpoint commits, so the checkpoint never references bytes that could
+    be lost, and a kill between output-write and commit just reprocesses
+    deterministically from the previous checkpoint.
+
+    ``crash_after_chunks`` is the built-in fault injector: hard-exit
+    (os._exit, no flush/atexit -- a SIGKILL stand-in) after N chunks.
+    """
+    import os
+
+    import jax
+
+    from jeicyboodsp_tpu.io.stream import EnhanceSession
+    from jeicyboodsp_tpu.io.wav import read_pcm16
+
+    x = read_pcm16(inp)  # wiener/specsub read from byte 0 (no header skip)
+    nblocks = len(x) // 512
+    blocks = x[: nblocks * 512].reshape(-1, 512)
+    sess = EnhanceSession(mode, dtype=kw.get("dtype"))
+
+    start_block, out_bytes = 0, 0
+    if ckpt and os.path.exists(ckpt):
+        data = np.load(ckpt)
+        start_block = int(data["block"])
+        out_bytes = int(data["out_bytes"])
+        n_leaves = len([k for k in data.files if k.startswith("leaf_")])
+        leaves = [data[f"leaf_{i}"] for i in range(n_leaves)]
+        _, treedef = jax.tree_util.tree_flatten(sess.state)
+        sess.state = jax.tree_util.tree_unflatten(treedef, leaves)
+
+    f = open(out, "r+b" if (out_bytes and os.path.exists(out)) else "wb")
+    f.truncate(out_bytes)
+    f.seek(out_bytes)
+    chunks_done = 0
+    for s in range(start_block, nblocks, chunk_blocks):
+        y = sess.process(blocks[s : s + chunk_blocks])
+        f.write(np.asarray(y, np.int16).tobytes())
+        chunks_done += 1
+        if ckpt and chunks_done % ckpt_every == 0:
+            f.flush()
+            os.fsync(f.fileno())
+            leaves, _ = jax.tree_util.tree_flatten(sess.state)
+            tmp = ckpt + ".tmp.npz"
+            np.savez(
+                tmp[: -len(".npz")],
+                block=s + chunk_blocks,
+                out_bytes=f.tell(),
+                **{f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)},
+            )
+            os.replace(tmp, ckpt)
+        if crash_after_chunks is not None and chunks_done >= int(crash_after_chunks):
+            os._exit(137)  # fault injection: no flush, no atexit
+    f.close()
+    return out
+
+
 PIPELINES = {
     "geq": geq,
     "fastconv": fastconv,
@@ -238,6 +310,7 @@ PIPELINES = {
     "gmm-train": gmm_train,
     "gmm-test": gmm_test,
     "viterbi": viterbi,
+    "stream": stream_enhance,
 }
 
 

@@ -1,0 +1,113 @@
+"""On-hardware kernel correctness checks (VERDICT r1 item 3).
+
+The CI suite runs Pallas kernels in interpret mode on CPU, so a Mosaic
+codegen/layout regression would pass CI while corrupting real-TPU results.
+These checks run the REAL compiled kernels and assert the same contracts the
+interpret-mode tests assert:
+
+- df32 GEQ quantized-feedback kernel bit-exact vs the f64 oracle, including
+  int16 wrap stress (`7Band_GEQ.cpp:284` semantics on real Mosaic codegen);
+- df32 NLMS / BNLMS kernels int16-exact vs the f64 oracles
+  (`NormalLMS.cpp:113-126`, gated `BNLMS.cpp:133`);
+- the mxu3 enhancement chain >= 60 dB SNR vs the f64 oracle;
+- Pallas AMDF pitch lags exactly equal to the oracle's.
+
+Used by bench.py (the driver's per-round TPU run reports the dict in its
+JSON line) and tests/test_tpu_only.py (manual lane:
+``JEICYBOO_TPU_TESTS=1 python -m pytest tests/test_tpu_only.py``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def run_checks() -> dict:
+    """Run all on-device checks; returns {name: bool} (True = contract holds).
+
+    Small shapes: one compile + one dispatch per kernel.
+    """
+    import jax.numpy as jnp
+
+    results = {}
+    rng = np.random.default_rng(1234)
+
+    # --- GEQ df32 quantized cascade: bit-exact incl. wrap stress ---
+    from jeicyboodsp_tpu.oracle import geq as ogeq
+    from jeicyboodsp_tpu.ops import geq as jgeq
+
+    stress = rng.integers(-32768, 32768, 2048).astype(np.int16)
+    got = jgeq.run_pallas_quant(stress)
+    results["geq_quant_bit_exact"] = bool(
+        (got.astype(np.int64) == ogeq.run(stress).astype(np.int64)).all()
+    )
+
+    # --- NLMS df32 kernel: int16-exact vs oracle ---
+    from jeicyboodsp_tpu.kernels.nlms_pallas import bnlms_pallas, nlms_pallas
+    from jeicyboodsp_tpu.oracle import nlms as onl
+
+    n = 2048
+    x = np.clip(rng.normal(0, 3000, n), -32768, 32767).astype(np.int16)
+    h = rng.normal(0, 0.1, 32)
+    h[0] = 0.5
+    ref = np.clip(np.convolve(x.astype(np.float64), h)[:n], -32768, 32767).astype(np.int16)
+    st = onl.NLMSState()
+    want_e = np.concatenate(
+        [onl.nlms_block(st, x[s : s + 1024], ref[s : s + 1024])[0] for s in range(0, n, 1024)]
+    )
+    est, _ = nlms_pallas(jnp.asarray(x[None]), jnp.asarray(ref[None]))
+    results["nlms_bit_exact"] = bool(
+        (np.asarray(est)[0].astype(np.int64) == want_e.astype(np.int64)).all()
+    )
+
+    # --- BNLMS df32 kernel incl. the gated no-update path ---
+    ref2 = np.clip(-ref.astype(np.int32), -32768, 32767).astype(np.int16)
+    want = []
+    for r in (ref, ref2):
+        stb = onl.BNLMSState()
+        want.append(
+            np.concatenate(
+                [onl.bnlms_block(stb, x[s : s + 1024], r[s : s + 1024])[0] for s in range(0, n, 1024)]
+            )
+        )
+    estb, _ = bnlms_pallas(jnp.asarray(np.stack([x, x])), jnp.asarray(np.stack([ref, ref2])))
+    results["bnlms_bit_exact"] = bool(
+        (np.asarray(estb).astype(np.int64) == np.stack(want).astype(np.int64)).all()
+    )
+
+    # --- mxu3 enhancement chain: >= 60 dB vs the f64 oracle ---
+    from jeicyboodsp_tpu.oracle import enhance as oenh
+    from jeicyboodsp_tpu.ops.enhance import enhance_blocks
+
+    T = 96
+    t = np.arange(T * 512) / 16000
+    speech = 5000 * np.sin(2 * np.pi * 313 * t) * (np.sin(2 * np.pi * 0.5 * t) > 0.2)
+    probe = np.clip(speech + rng.normal(0, 20, T * 512), -32768, 32767).astype(np.int16)
+    want_w = oenh.run(probe, "wiener").astype(np.float64)
+    out, mask = enhance_blocks(
+        jnp.asarray(probe.reshape(T, 512)), mode="wiener", dtype=jnp.float32,
+        use_assoc_scan=True, real_fft=True, resynth="ratio", fft_engine="mxu3",
+    )
+    got_w = np.asarray(out)[np.asarray(mask)].reshape(-1).astype(np.float64)
+    err = want_w - got_w
+    snr = 10 * np.log10(np.sum(want_w**2) / max(np.sum(err**2), 1e-30))
+    results["enhance_mxu3_snr_db"] = round(float(snr), 1)
+    results["enhance_mxu3_snr_ok"] = bool(snr >= 60.0)
+
+    # --- Pallas AMDF: pitch lags exactly equal to the oracle ---
+    from jeicyboodsp_tpu.oracle import pitch as opitch
+    from jeicyboodsp_tpu.ops.features import pitch_run
+
+    np_ = 512 * 8
+    tt = np.arange(np_) / 16000
+    xp = np.clip(
+        8000 * np.sin(2 * np.pi * 123 * tt) + rng.normal(0, 300, np_), -32768, 32767
+    ).astype(np.int16)
+    args, _, _ = pitch_run(xp, method=2, dtype=jnp.float32, fft_engine="mxu")
+    want_lags = [a for a, _, _ in opitch.run(xp, 2)]
+    results["amdf_lags_exact"] = bool(list(np.asarray(args)) == want_lags)
+
+    results["all_ok"] = all(
+        v for k, v in results.items() if isinstance(v, bool)
+    )
+    return results

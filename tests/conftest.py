@@ -6,17 +6,22 @@ SURVEY.md §4 (no pod required); compat-mode numerics need x64.
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"  # force: env presets the TPU backend
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+TPU_LANE = bool(os.environ.get("JEICYBOO_TPU_TESTS"))  # test_tpu_only.py lane
+
+if not TPU_LANE:
+    os.environ["JAX_PLATFORMS"] = "cpu"  # force: env presets the TPU backend
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
 
-# sitecustomize imports jax with JAX_PLATFORMS=axon baked in, so the env var
-# alone cannot reach CPU -- use the config knob.
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+if not TPU_LANE:
+    # sitecustomize imports jax with JAX_PLATFORMS=axon baked in, so the env
+    # var alone cannot reach CPU -- use the config knob.  (The TPU lane keeps
+    # the hardware backend and f32: TPUs have no x64.)
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
 # Persistent compile cache: XLA compiles dominate test wall-clock on CPU.
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
