@@ -58,12 +58,15 @@ def _plan(n: int, forward: bool, dtype=np.float32):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("n", "forward", "dtype"))
-def fft_four_step(re, im, n: int, forward: bool = True, dtype=jnp.float32):
+@functools.partial(jax.jit, static_argnames=("n", "forward", "dtype", "precision"))
+def fft_four_step(re, im, n: int, forward: bool = True, dtype=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST):
     """Batched four-step FFT: re/im (..., n) -> (re, im) (..., n).
 
     Unnormalized in both directions (like FFTW); callers divide by n for the
-    inverse.
+    inverse.  Real input (im = literal zeros) costs only 2 stage-1 matmuls:
+    XLA folds the zero-operand products away.  ``precision=HIGH`` (bf16x3)
+    trades ~20 dB for 2x matmul rate vs HIGHEST.
     """
     n1, n2, (w1r, w1i), (w2r, w2i), (twr, twi) = _plan(n, forward, np.float32 if dtype == jnp.float32 else np.float64)
     w1r, w1i, w2r, w2i, twr, twi = (jnp.asarray(a, dtype) for a in (w1r, w1i, w2r, w2i, twr, twi))
@@ -71,7 +74,7 @@ def fft_four_step(re, im, n: int, forward: bool = True, dtype=jnp.float32):
     xr = re.astype(dtype).reshape(*batch, n1, n2)
     xi = im.astype(dtype).reshape(*batch, n1, n2)
     # A = W1 @ x  (contract over j1)
-    ein = functools.partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
+    ein = functools.partial(jnp.einsum, precision=precision)
     ar = ein("kj,...jn->...kn", w1r, xr) - ein("kj,...jn->...kn", w1i, xi)
     ai = ein("kj,...jn->...kn", w1r, xi) + ein("kj,...jn->...kn", w1i, xr)
     # B = A * twiddle

@@ -143,6 +143,77 @@ def _noise_assoc_scan(speech, mags):
     return latched_from_composed(s_, bh_)
 
 
+def _noise_latch_closed_form(speech, mags, chunk: int = 64):
+    """Closed-form noise latch -- the chain's fast path.
+
+    The recursion A' = a*A + c*m has a ∈ {1, 1/2}: every decay is an EXACT
+    power of two, so with k_t = #halvings up to t,
+
+        A_t = 2^{-k_t} * Σ_{j<=t} 2^{k_j} c_j m_j
+
+    i.e. ONE weighted cumulative sum with scalar per-block weights -- ~4x
+    less memory traffic than the affine associative scan (whose monoid
+    carries two bin-vectors).  2^{k} overflows f32 for long signals, so the
+    sum is rescaled per `chunk` blocks (local k <= chunk < 127) and chunks
+    are composed by a tiny (T/chunk)-step affine scan.  The 2^{±k} scalings
+    are exact; only addition grouping differs from the sequential scan
+    (same ulp class as the associative scan).
+
+    The latched output N_t is A at the most recent block where a noise run
+    reached NOISE_FRAMES: a cummax of latch indices + one row gather.
+    """
+    dtype = mags.dtype
+    T, nb = mags.shape
+    L = chunk
+    Tp = -(-T // L) * L
+    idx = jnp.arange(Tp)
+    noise = jnp.zeros(Tp, bool).at[:T].set(~speech)  # pad rows = speech
+    m = jnp.zeros((Tp, nb), dtype).at[:T].set(mags)
+
+    last_speech = jax.lax.cummax(jnp.where(~noise, idx, -1))
+    cnt = jnp.where(noise, idx - last_speech, 0)  # run length, 0 on speech
+    upd = noise & (cnt >= 2)
+    halve = upd & (cnt >= 3)  # a = 1/2 (cnt==2 keeps a=1, c=1)
+    c = jnp.where(upd, jnp.where(cnt >= 3, 0.5, 1.0), 0.0).astype(dtype)
+
+    k = jnp.cumsum(halve.astype(jnp.int32))  # halvings up to AND incl. t
+    k2 = k.reshape(Tp // L, L)
+    lk = k2 - jnp.concatenate(  # halvings within the chunk
+        [jnp.zeros((1,), jnp.int32), k2[:-1, -1]]
+    )[:, None]
+    w = c.reshape(Tp // L, L) * jnp.exp2(lk.astype(dtype))  # exact scaling
+    # prefix sums within chunks as a lower-triangular MATMUL: rides the MXU
+    # (~3x the VPU cumsum's rate at these shapes); the 0/1 triangle is exact
+    # in bf16, so HIGH keeps f32-accurate sums on TPU
+    tri = jnp.asarray(np.tril(np.ones((L, L), np.float32)), dtype)
+    wm = w[..., None] * m.reshape(Tp // L, L, nb)
+    S = jnp.einsum("lj,cjb->clb", tri, wm, precision=jax.lax.Precision.HIGH)
+    p = jnp.exp2(-lk.astype(dtype))  # exact
+
+    # cross-chunk composition A_out = p_c (A_in + S_c): tiny affine
+    # associative scan over T/L chunk aggregates (log depth)
+    def comb(l, r):
+        a1, b1 = l
+        a2, b2 = r
+        return a2 * a1, a2[..., None] * b1 + b2
+
+    a_el = p[:, -1]
+    b_el = p[:, -1, None] * S[:, -1]
+    _, Bc = jax.lax.associative_scan(comb, (a_el, b_el))
+    A0s = jnp.concatenate([jnp.zeros((1, nb), dtype), Bc[:-1]], axis=0)
+    A = p[..., None] * (A0s[:, None, :] + S)  # (T/L, L, nb)
+    A = A.reshape(Tp, nb)
+
+    latch = upd & (cnt == NOISE_FRAMES)
+    lidx = jax.lax.cummax(jnp.where(latch, idx, -1))
+    ns = jnp.where(
+        (lidx >= 0)[:, None],
+        jnp.take_along_axis(A, jnp.maximum(lidx, 0)[:, None], axis=0),
+        jnp.zeros((), dtype),
+    )
+    return ns[:T]
+
+
 @functools.lru_cache(maxsize=None)
 def _dft_matrices():
     """Real-DFT (1024 -> 513 bins) and inverse matrices as numpy f32.
@@ -228,6 +299,106 @@ def gain_and_resynth(
     return jnp.fft.ifft(Y).real
 
 
+@functools.lru_cache(maxsize=None)
+def _dft_mats_aligned():
+    """MXU-aligned DFT bases: 512-column matmuls + rank-1 Nyquist terms.
+
+    N=513 matmuls pad to 640 lanes on the MXU (1.25x waste) and K=513
+    contractions measured ~2.6x below peak; splitting the Nyquist bin out
+    (its sin column is exactly zero) keeps every GEMM at 512/1024 tiles.
+    The inverse additionally exploits y[n-s] symmetry -- cos columns are
+    even, sin columns odd in s -- so TWO (513->512)-shaped matmuls (u, v)
+    yield all 1024 output samples: y[0:512] = u - v, y[512+s] from
+    flip(u + v).  Halves the inverse FLOPs vs the dense (513, 1024) form.
+    """
+    n = FFT_SIZE
+    kk = np.arange(n)[:, None] * np.arange(n // 2 + 1)[None, :]
+    ang = -2.0 * np.pi * kk / n  # (1024, 513)
+    # Hamming window folded into the forward bases: w*[prev,cur] @ C becomes
+    # prev @ WC[:512] + cur @ WC[512:], and since prev is just cur shifted by
+    # one row, the whole framing+windowing stage disappears into a row shift
+    i = np.arange(n)
+    ham = (0.54 - 0.46 * np.cos(2.0 * float(REF_PI) * i / (n - 1)))[:, None]
+    C = (ham * np.cos(ang)).astype(np.float32)
+    S = (ham * np.sin(ang)).astype(np.float32)
+    wk = np.full(n // 2 + 1, 2.0)
+    wk[0] = wk[-1] = 1.0
+    ks = np.arange(n // 2 + 1)[:, None] * np.arange(n // 2)[None, :]
+    ang2 = 2.0 * np.pi * ks / n
+    UC = (wk[:, None] * np.cos(ang2) / n).astype(np.float32)  # (513, 512)
+    VS = (wk[:, None] * np.sin(ang2) / n).astype(np.float32)  # (513, 512)
+    y512col = (wk * np.cos(np.pi * np.arange(n // 2 + 1)) / n).astype(np.float32)
+    return dict(
+        WC=np.ascontiguousarray(C[:, :512]), WS=np.ascontiguousarray(S[:, :512]),
+        nyq=np.ascontiguousarray(C[:, 512]),
+        UC512=UC[:512], VS512=VS[:512],  # VS[512] is exactly zero
+        u_nyq=np.ascontiguousarray(UC[512]), y512col=y512col,
+    )
+
+
+def _enhance_fast_mxu(blocks, mode, dtype, precision, emit_all):
+    """The TPU speed path: 512-aligned GEMMs, symmetry-halved inverse,
+    closed-form noise latch.  Same math as the generic path (ratio
+    resynthesis) up to rounding; SNR contract asserted by tests/bench."""
+    T = blocks.shape[0]
+    M = _dft_mats_aligned()
+    WC, WS = jnp.asarray(M["WC"], dtype), jnp.asarray(M["WS"], dtype)
+    nyq = jnp.asarray(M["nyq"], dtype)
+    UC512, VS512 = jnp.asarray(M["UC512"], dtype), jnp.asarray(M["VS512"], dtype)
+    u_nyq, y512col = jnp.asarray(M["u_nyq"], dtype), jnp.asarray(M["y512col"], dtype)
+
+    prev = jnp.concatenate([jnp.zeros((1, BLOCK_LEN), blocks.dtype), blocks[:-1]], axis=0)
+    frames = jnp.concatenate([prev, blocks], axis=1).astype(dtype)  # window is
+    # folded into WC/WS/nyq, so the frame feeds the GEMMs directly
+
+    re = jnp.dot(frames, WC, precision=precision)  # (T, 512)
+    im = jnp.dot(frames, WS, precision=precision)
+    re_n = jnp.dot(frames, nyq, precision=precision)  # (T,) Nyquist (im == 0)
+
+    P512 = re * re + im * im
+    mag512 = jnp.sqrt(P512)
+    mag_n = jnp.abs(re_n)
+    mags = jnp.concatenate([mag512, mag_n[:, None]], axis=-1)  # (T, 513)
+
+    speech = vad_flags(blocks, dtype)
+    ns = _noise_latch_closed_form(speech, mags)
+    ns512, ns_n = ns[:, :512], ns[:, 512]
+
+    if mode == "wiener":
+        v512 = ns512 ** 2 / P512  # 0/0 -> NaN, as the reference
+        g512 = 1.0 - jnp.where(v512 >= 1.0, 1.0, v512)
+        v_n = ns_n ** 2 / (re_n * re_n)
+        g_n = 1.0 - jnp.where(v_n >= 1.0, 1.0, v_n)
+    elif mode == "specsub":
+        g512 = (mag512 - ns512) / mag512
+        g_n = (mag_n - ns_n) / mag_n
+    else:
+        raise ValueError(mode)
+    Yre = re * g512
+    Yim = im * g512
+    Yre_n = re_n * g_n
+
+    u = jnp.dot(Yre, UC512, precision=precision) + Yre_n[:, None] * u_nyq
+    v = jnp.dot(Yim, VS512, precision=precision)
+    head = u - v  # y[0:512]
+    y512 = jnp.dot(Yre, y512col[:512], precision=precision) + Yre_n * y512col[512]
+    tail = jnp.concatenate(  # y[512:1024] = [y512, flip(u + v)[1:]]
+        [y512[:, None], jnp.flip((u + v)[:, 1:], axis=-1)], axis=-1
+    )
+
+    tail_prev = jnp.concatenate([jnp.zeros((1, BLOCK_LEN), head.dtype), tail[:-1]], axis=0)
+    t_idx = jnp.arange(T)
+    valid = t_idx >= 1
+    ola = jnp.where(
+        valid[:, None], head + jnp.where((t_idx >= 2)[:, None], tail_prev, 0.0), 0.0
+    )
+    out = c_short_jnp(ola)
+    write_mask = t_idx >= 2
+    if not emit_all:
+        out = jnp.where(write_mask[:, None], out, 0)
+    return out, write_mask
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -252,6 +423,11 @@ def enhance_blocks(
     """
     T = blocks.shape[0]
     fdtype = dtype
+
+    if fft_engine.startswith("mxu") and resynth == "ratio":
+        from jeicyboodsp_tpu.ops.dft import precision_of
+
+        return _enhance_fast_mxu(blocks, mode, fdtype, precision_of(fft_engine), emit_all)
 
     prev = jnp.concatenate([jnp.zeros((1, BLOCK_LEN), blocks.dtype), blocks[:-1]], axis=0)
     X = frame_transform(

@@ -112,8 +112,11 @@ def filter_spectrum(h=None, dtype=jnp.float64, real_fft=False):
     return H.real.copy(), H.imag.copy()
 
 
-def run_stream(x, dtype=jnp.float64, real_fft=False):
-    """Host convenience matching oracle.fastconv.run framing."""
+def run_stream(x, dtype=jnp.float64, real_fft=False, fft_engine: str = "xla"):
+    """Host convenience matching oracle.fastconv.run framing.
+
+    ``fft_engine="mxu"``/``"mxu3"`` routes the dense path through the
+    four-step MXU FFT (f32; HIGHEST/HIGH matmul passes respectively)."""
     x = np.asarray(x, np.int16)
     T = len(x) // BLOCK_SIZE
     rem = len(x) - T * BLOCK_SIZE
@@ -124,6 +127,41 @@ def run_stream(x, dtype=jnp.float64, real_fft=False):
         T += 1
     if T <= WARMUP_BLOCKS:
         return np.zeros(0, np.int16)
-    Hr, Hi = filter_spectrum(dtype=dtype, real_fft=real_fft)
-    out = fastconv_blocks(jnp.asarray(blocks), Hr, Hi, dtype=dtype, real_fft=real_fft)
+    if fft_engine.startswith("mxu"):
+        Hr, Hi = filter_spectrum(dtype=jnp.float32, real_fft=False)
+        out = fastconv_blocks_mxu(
+            jnp.asarray(blocks), Hr, Hi, dtype=jnp.float32,
+            precision_name="high" if fft_engine == "mxu3" else "highest",
+        )
+    else:
+        Hr, Hi = filter_spectrum(dtype=dtype, real_fft=real_fft)
+        out = fastconv_blocks(jnp.asarray(blocks), Hr, Hi, dtype=dtype, real_fft=real_fft)
     return np.asarray(out).reshape(-1)
+
+
+@functools.partial(jax.jit, static_argnames=("dtype", "precision_name"))
+def fastconv_blocks_mxu(blocks, Hr, Hi, dtype=jnp.float32, precision_name: str = "highest"):
+    """Dense-RIR fast convolution on the four-step MXU FFT.
+
+    The general engine for ARBITRARY 7169-tap filters (the sparse direct
+    path only wins because the shipped RIR has 70 taps): 8192-pt transforms
+    evaluated as 64x128-factored DFT matmuls on the systolic array
+    (kernels.fft_pallas.fft_four_step) instead of the XLA VPU FFT.  The
+    filter spectrum Hr/Hi is precomputed over all 8192 bins (full complex:
+    the four-step output is full-spectrum; the redundant half costs matmul
+    columns that the MXU's throughput covers).  Reference hot loop:
+    Fast_Convolution_Based_3DAudio_Impl.cpp:139-158.
+    """
+    from jeicyboodsp_tpu.kernels.fft_pallas import fft_four_step
+
+    prec = {"highest": jax.lax.Precision.HIGHEST, "high": jax.lax.Precision.HIGH}[precision_name]
+    T = blocks.shape[0]
+    x_eff = blocks.at[:WARMUP_BLOCKS].set(0)
+    flat = x_eff.reshape(-1).astype(dtype)
+    segs = _segments(flat, T)
+    Xr, Xi = fft_four_step(segs, jnp.zeros_like(segs), FFT_SIZE, precision=prec)
+    Yr = Xr * Hr - Xi * Hi
+    Yi = Xr * Hi + Xi * Hr
+    yr, _ = fft_four_step(Yr, Yi, FFT_SIZE, forward=False, precision=prec)
+    y = yr * (1.0 / FFT_SIZE)
+    return c_short_jnp(y[:, FILTER_LENGTH - 1 :])

@@ -84,3 +84,46 @@ def test_mxu_dft_engine_snr(rng, snr):
         got = np.asarray(out)[np.asarray(mask)].reshape(-1)
         m = min(len(ref), len(got))
         assert snr(ref[:m], got[:m]) >= 60.0, (eng, snr(ref[:m], got[:m]))
+
+
+def test_noise_closed_form_matches_scan(rng):
+    """The closed-form noise latch (exact power-of-2 rescaling + weighted
+    cumsum) equals the sequential scan bit-for-bit on f64 for this signal
+    class, and across chunk boundaries / multiple latch events."""
+    x = _signal(rng, seconds=6.5)  # >1 chunk (64 blocks) with many runs
+    T = len(x) // 512
+    blocks = jnp.asarray(x[: T * 512].reshape(T, 512))
+    sp = jenh.vad_flags(blocks, jnp.float64)
+    prev = jnp.concatenate([jnp.zeros((1, 512), jnp.int16), blocks[:-1]], axis=0)
+    X = jenh.frame_transform(jnp.concatenate([prev, blocks], axis=1), jnp.float64)
+    mags = jnp.abs(X)
+    want = np.asarray(jenh._noise_scan(sp, mags))
+    got = np.asarray(jenh._noise_latch_closed_form(sp, mags))
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-30)
+
+
+def test_fast_mxu_path_matches_oracle_f64(rng):
+    """The 512-aligned-GEMM fast path (symmetry-halved inverse, closed-form
+    noise) stays within +-1 LSB of the bit-exact oracle in f64 for both
+    modes, and reproduces the all-zero NaN path."""
+    from jeicyboodsp_tpu.oracle import enhance as oenh
+
+    x = _signal(rng)
+    T = len(x) // 512
+    x = x[: T * 512]
+    blocks = jnp.asarray(x.reshape(T, 512))
+    for mode in ("wiener", "specsub"):
+        want = oenh.run(x, mode)
+        out, mask = jenh.enhance_blocks(
+            blocks, mode=mode, dtype=jnp.float64, use_assoc_scan=True,
+            real_fft=True, resynth="ratio", fft_engine="mxu",
+        )
+        got = np.asarray(out)[np.asarray(mask)].reshape(-1)
+        d = want.astype(np.int64) - got.astype(np.int64)
+        assert np.abs(d).max() <= 1 and (d != 0).mean() < 1e-3, (mode, np.abs(d).max())
+    z = np.zeros(512 * 6, np.int16)
+    outz, _ = jenh.enhance_blocks(
+        jnp.asarray(z.reshape(-1, 512)), mode="wiener", dtype=jnp.float64,
+        use_assoc_scan=True, real_fft=True, resynth="ratio", fft_engine="mxu",
+    )
+    assert np.abs(np.asarray(outz)).max() == 0

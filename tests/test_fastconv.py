@@ -60,3 +60,23 @@ def test_sparse_engine_matches_oracle(rng, snr):
     ).reshape(-1)
     d = np.abs(got64.astype(np.int64) - want.astype(np.int64))
     assert d.max() <= 1, d.max()
+
+
+def test_fastconv_mxu_engine_close(rng, snr):
+    """Four-step MXU dense path vs the f64 XLA path: >= 60 dB and +-1 LSB
+    on all but FFT-rounding flips."""
+    import jax.numpy as jnp
+
+    from jeicyboodsp_tpu.ops.fastconv import (
+        fastconv_blocks, fastconv_blocks_mxu, filter_spectrum,
+    )
+
+    x = np.clip(rng.normal(0, 1500, 1024 * 12), -32768, 32767).astype(np.int16)
+    blocks = jnp.asarray(x.reshape(-1, 1024))
+    Hr, Hi = filter_spectrum(dtype=jnp.float64)
+    want = np.asarray(fastconv_blocks(blocks, Hr, Hi, dtype=jnp.float64))
+    Hr32, Hi32 = filter_spectrum(dtype=jnp.float32)
+    got = np.asarray(fastconv_blocks_mxu(blocks, Hr32, Hi32))
+    assert snr(want.reshape(-1), got.reshape(-1)) >= 60.0
+    d = want.astype(np.int64) - got.astype(np.int64)
+    assert np.abs(d).max() <= 1, np.abs(d).max()
