@@ -46,26 +46,41 @@ def _segments(flat, T):
     return jnp.concatenate(parts, axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("dtype", "real_fft"))
-def fastconv_blocks(blocks, Hr, Hi, dtype=jnp.float64, real_fft=False):
+@functools.partial(jax.jit, static_argnames=("dtype", "real_fft", "fft_tile"))
+def fastconv_blocks(blocks, Hr, Hi, dtype=jnp.float64, real_fft=False, fft_tile: int = 256):
     """(T, 1024) int16 blocks -> (T-7, 1024) int16 written output blocks.
 
     Hr/Hi are the real/imag planes of the precomputed filter spectrum
     ((8192,) for full FFT, (4097,) for rfft mode); split planes because
     complex host<->device transfers are not supported on all backends.
+
+    ``fft_tile``: the batched 8192-pt FFT is evaluated in on-device tiles of
+    this many segments (lax.map).  Measured on TPU v5e at 2041 segments: one
+    monolithic rfft runs at 0.36 G samples/s; 256-segment tiles at 1.06 G
+    (tile sweep knee: 64->0.53, 128->0.60, 256->1.06, 512->0.71 G) -- the
+    big batch blows past on-chip memory locality.  Per-segment results are
+    identical (FFTs are independent across the batch).
     """
     T = blocks.shape[0]
     H = Hr + 1j * Hi
     x_eff = blocks.at[:WARMUP_BLOCKS].set(0)  # warm-up blocks never stored
     flat = x_eff.reshape(-1).astype(dtype)
     segs = _segments(flat, T)
+
     if real_fft:
-        Y = jnp.fft.rfft(segs) * H
-        y = jnp.fft.irfft(Y, FFT_SIZE)
+        fft_one = lambda s: jnp.fft.irfft(jnp.fft.rfft(s) * H, FFT_SIZE)
     else:
         ctype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
-        Y = jnp.fft.fft(segs.astype(ctype)) * H.astype(ctype)
-        y = jnp.fft.ifft(Y).real
+        fft_one = lambda s: jnp.fft.ifft(jnp.fft.fft(s.astype(ctype)) * H.astype(ctype)).real
+
+    nseg = segs.shape[0]
+    if nseg > fft_tile:
+        pad = (-nseg) % fft_tile
+        segs_p = jnp.concatenate([segs, jnp.zeros((pad, FFT_SIZE), segs.dtype)], axis=0)
+        y = jax.lax.map(fft_one, segs_p.reshape(-1, fft_tile, FFT_SIZE))
+        y = y.reshape(-1, FFT_SIZE)[:nseg]
+    else:
+        y = fft_one(segs)
     return c_short_jnp(y[:, FILTER_LENGTH - 1 :])
 
 
@@ -148,9 +163,14 @@ def fastconv_blocks_mxu(blocks, Hr, Hi, dtype=jnp.float32, precision_name: str =
     evaluated as 64x128-factored DFT matmuls on the systolic array
     (kernels.fft_pallas.fft_four_step) instead of the XLA VPU FFT.  The
     filter spectrum Hr/Hi is precomputed over all 8192 bins (full complex:
-    the four-step output is full-spectrum; the redundant half costs matmul
-    columns that the MXU's throughput covers).  Reference hot loop:
+    the four-step output is full-spectrum).  Reference hot loop:
     Fast_Convolution_Based_3DAudio_Impl.cpp:139-158.
+
+    Measured (TPU v5e, 512 segments chained): 0.58 G samples/s at HIGHEST
+    (103 dB vs f64) / 0.61 G at HIGH (83 dB) -- SLOWER than the tiled XLA
+    rfft path (~1 G): at n=8192 the VPU FFT's n*log(n) beats the four-step's
+    n*(64+128) matmul FLOPs even at MXU rates.  Kept as the validated
+    alternative engine; the default dense path stays on fastconv_blocks.
     """
     from jeicyboodsp_tpu.kernels.fft_pallas import fft_four_step
 
