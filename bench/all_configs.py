@@ -38,15 +38,23 @@ def cpp_sps(binary, args_builder, n_samples, per_sample_files=1):
 def amortized(fn_calls, n1=1, n2=5):
     """fn_calls(k) runs k chained device iterations and syncs; each k is
     compiled+warmed before its timed run; returns per-iteration seconds.
-    Raise n2 for very fast sections (tunnel dispatch jitter ~ms can exceed
-    (n2-n1) iterations otherwise)."""
+
+    Tunnel dispatch jitter (~ms) can exceed (n2-n1) iterations for fast
+    sections, even yielding NEGATIVE deltas; on a non-positive or clearly
+    jitter-dominated delta the spread is widened (up to 2 retries) so every
+    committed row is a real measurement."""
     def timed(k):
         fn_calls(k)  # compile + warm
         t0 = time.perf_counter()
         fn_calls(k)
         return time.perf_counter() - t0
-    t1, t2 = timed(n1), timed(n2)
-    return (t2 - t1) / (n2 - n1)
+    for _ in range(3):
+        t1, t2 = timed(n1), timed(n2)
+        per = (t2 - t1) / (n2 - n1)
+        if per > 0 and (t2 - t1) > 0.25 * t1:
+            return per
+        n2 = n1 + (n2 - n1) * 4  # widen the spread; recompiles once per k
+    return per
 
 
 def main(groups=None):
