@@ -81,9 +81,10 @@ def main():
         use_assoc_scan=True,
         real_fft=True,
         resynth="ratio",
-        # mxu3 = DFT as 3-pass (bf16x3) matmuls on the systolic array: measured
-        # 2.99 G samples/s @ 84 dB vs 1.66 G @ 104 dB for the XLA VPU FFT;
-        # mxu (6-pass) is slower than xla; mxu1 (1-pass bf16) is 52 dB (<60 target)
+        # mxu3 = bf16x3 GEMM engine; on TPU f32/HIGH this takes the fused
+        # Pallas path (kernels/enhance_pallas): measured 5.05 G samples/s
+        # @ 90.0 dB (round 2) vs 1.66 G @ 104 dB for the XLA VPU FFT;
+        # mxu (6-pass) is slower than xla; mxu1 (1-pass bf16) is 52 dB (<60)
         fft_engine=os.environ.get("BENCH_FFT_ENGINE", "mxu3"),
     )
 
@@ -122,8 +123,13 @@ def main():
         jax.device_get(chained(blocks, n))
         return time.perf_counter() - t0
 
-    t1, tn = timed(1), timed(11)
-    per_iter = (tn - t1) / 10
+    # min-of-2 per point + a wide 51-iteration window: tunnel jitter is
+    # ~ms-scale, so an 11-iteration (~20 ms) window scattered 3.4-5.7 G
+    # between runs and a one-off stall inside t1 once inflated the headline
+    # 10x.  51 iterations (~90 ms) puts the jitter below a few percent.
+    t1 = min(timed(1), timed(1))
+    tn = min(timed(51), timed(51))
+    per_iter = (tn - t1) / 50
     sps = BENCH_T * 512 / per_iter
 
     baseline = measure_cpp_baseline(make_signal(FS * 60, rng))

@@ -1,0 +1,167 @@
+"""Fused Pallas kernels for the enhancement chain's hot path.
+
+Reference hot loop: ``WienerFilter_final.cpp:192-216`` (FFT -> gain -> IFFT
+per frame).  The XLA version (`ops.enhance._enhance_fast_mxu`) runs the
+stage GEMMs at ``precision=HIGH`` with HBM round-trips between stages; these
+kernels fuse each half of the chain into one VMEM-resident pass per frame
+tile:
+
+- :func:`enhance_fwd_pallas` -- int16 blocks in; windowed forward rDFT
+  (Hamming folded into the bases), Nyquist split out, magnitudes computed
+  in-register.  Avoids materializing the (T, 1024) frame array and the
+  separate |X| pass.
+- :func:`enhance_back_pallas` -- spectra + noise estimate in; Wiener /
+  spectral-subtraction gain, the two symmetry-halved inverse GEMMs, and the
+  y[512] column, all in VMEM.  Avoids materializing gain/Y/u/v.
+
+Mosaic does not implement ``Precision.HIGH``, so the f32 GEMMs are
+hand-rolled bf16x3 (`_dot3`): split both operands into bf16 hi + residual
+lo and take the three significant cross products -- the same decomposition
+XLA's HIGH uses, but with the splits living in VMEM instead of HBM.
+Measured (v5e, T=16384, F=512): back half 0.13 ms vs 0.33 ms XLA; values
+agree with the XLA path to bf16x3 rounding (~1e-6 relative).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _dot3(a, b):
+    """f32 GEMM as three bf16 passes (XLA HIGH-equivalent, Mosaic-legal)."""
+    ah = a.astype(jnp.bfloat16).astype(jnp.float32)
+    al = a - ah
+    bh = b.astype(jnp.bfloat16).astype(jnp.float32)
+    bl = b - bh
+    d = lambda x, y: jax.lax.dot_general(
+        x, y, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    return d(ah, bh) + (d(ah, bl) + d(al, bh))
+
+
+def _fwd_kernel(wcp, wcc, wsp, wsc, nyp, nyc, prev_ref, cur_ref,
+                re_ref, im_ref, ren_ref, mag_ref, magn_ref):
+    prev = prev_ref[...].astype(jnp.float32)
+    cur = cur_ref[...].astype(jnp.float32)
+    re = _dot3(prev, wcp[...]) + _dot3(cur, wcc[...])
+    im = _dot3(prev, wsp[...]) + _dot3(cur, wsc[...])
+    ren = _dot3(prev, nyp[...]) + _dot3(cur, nyc[...])
+    re_ref[...] = re
+    im_ref[...] = im
+    ren_ref[...] = ren
+    mag_ref[...] = jnp.sqrt(re * re + im * im)
+    magn_ref[...] = jnp.abs(ren)
+
+
+def enhance_fwd_pallas(prev, cur, WC, WS, nyq, F: int = 256, interpret: bool = False):
+    """(T, 512) int16 prev/cur blocks -> re, im (T, 512), re_n, |X| planes.
+
+    WC/WS: (1024, 512) window-folded forward bases; nyq: (1024,).
+    NOT jitted itself: matrices must arrive as host constants (callers are
+    jitted; an inner jit would trace them and lose the literal Nyquist term).
+    """
+    T = prev.shape[0]
+    assert T % F == 0, (T, F)
+    consts = [
+        jnp.asarray(WC[:512]), jnp.asarray(WC[512:]),
+        jnp.asarray(WS[:512]), jnp.asarray(WS[512:]),
+        jnp.asarray(nyq[:512]).reshape(512, 1), jnp.asarray(nyq[512:]).reshape(512, 1),
+    ]
+    const_specs = [
+        pl.BlockSpec(c.shape, lambda i: (0,) * c.ndim, memory_space=pltpu.VMEM)
+        for c in consts
+    ]
+    blk = pl.BlockSpec((F, 512), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    col = pl.BlockSpec((F, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _fwd_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((T, 512), jnp.float32),
+            jax.ShapeDtypeStruct((T, 512), jnp.float32),
+            jax.ShapeDtypeStruct((T, 1), jnp.float32),
+            jax.ShapeDtypeStruct((T, 512), jnp.float32),
+            jax.ShapeDtypeStruct((T, 1), jnp.float32),
+        ),
+        grid_spec=pl.GridSpec(
+            grid=(T // F,),
+            in_specs=const_specs + [blk, blk],
+            out_specs=(blk, blk, col, blk, col),
+        ),
+        interpret=interpret,
+    )(*consts, prev, cur)
+
+
+def _make_back_kernel(mode: str, y512n: float):
+    def kernel(uc, vs, unyq, ycol, re_ref, im_ref, ren_ref, ns_ref, nsn_ref,
+               head_ref, w2_ref, y512_ref):
+        re = re_ref[...]
+        im = im_ref[...]
+        ns512 = ns_ref[...]
+        ren = ren_ref[...]
+        nsn = nsn_ref[...]
+        if mode == "wiener":
+            P = re * re + im * im
+            v = ns512 * ns512 / P  # 0/0 -> NaN, as the reference
+            g = 1.0 - jnp.where(v >= 1.0, 1.0, v)
+            vn = nsn * nsn / (ren * ren)
+            gn = 1.0 - jnp.where(vn >= 1.0, 1.0, vn)
+        else:  # specsub
+            mag = jnp.sqrt(re * re + im * im)
+            g = (mag - ns512) / mag
+            magn = jnp.abs(ren)
+            gn = (magn - nsn) / magn
+        Yre = re * g
+        Yim = im * g
+        Yren = ren * gn
+        u = _dot3(Yre, uc[...]) + Yren * unyq[...]
+        vv = _dot3(Yim, vs[...])
+        head_ref[...] = u - vv
+        w2_ref[...] = u + vv
+        doth = lambda a, b: jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        y512_ref[...] = doth(Yre, ycol[...]) + Yren * y512n
+
+    return kernel
+
+
+def enhance_back_pallas(re, im, re_n, ns512, ns_n, UC512, VS512, u_nyq, y512col,
+                        mode: str = "wiener", F: int = 256, interpret: bool = False):
+    """Gain + symmetry-halved inverse: returns (head, w2, y512).
+
+    head = y[0:512]; w2 = u + v (whose flipped tail is y[513:1024]);
+    y512 = the single s=512 sample.  The caller assembles OLA.
+    y512col: (513,) inverse column for s=512 (index 512 = Nyquist term).
+    """
+    T = re.shape[0]
+    assert T % F == 0, (T, F)
+    ycol = jnp.asarray(y512col[:512], jnp.float32).reshape(512, 1)
+    y512n = float(y512col[512])  # Nyquist term baked in as a literal
+    consts = [
+        jnp.asarray(UC512, jnp.float32), jnp.asarray(VS512, jnp.float32),
+        jnp.asarray(u_nyq, jnp.float32).reshape(1, 512), ycol,
+    ]
+    const_specs = [
+        pl.BlockSpec(c.shape, lambda i: (0,) * c.ndim, memory_space=pltpu.VMEM)
+        for c in consts
+    ]
+    blk = pl.BlockSpec((F, 512), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    col = pl.BlockSpec((F, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _make_back_kernel(mode, y512n),
+        out_shape=(
+            jax.ShapeDtypeStruct((T, 512), jnp.float32),
+            jax.ShapeDtypeStruct((T, 512), jnp.float32),
+            jax.ShapeDtypeStruct((T, 1), jnp.float32),
+        ),
+        grid_spec=pl.GridSpec(
+            grid=(T // F,),
+            in_specs=const_specs + [blk, blk, col, blk, col],
+            out_specs=(blk, blk, col),
+        ),
+        interpret=interpret,
+    )(*consts, re, im, re_n, ns512, ns_n)

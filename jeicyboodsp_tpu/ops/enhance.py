@@ -336,10 +336,61 @@ def _dft_mats_aligned():
     )
 
 
+def _enhance_fused(blocks, mode, emit_all, interpret=False, F: int = 512):
+    """Pallas-fused f32 fast path: forward rDFT + |X| in one kernel, gain +
+    symmetry-halved inverse in another (kernels.enhance_pallas); only the
+    global noise latch, VAD, and the OLA assembly stay in XLA.  Matches the
+    XLA fast path to bf16x3 rounding."""
+    from jeicyboodsp_tpu.kernels import enhance_pallas as EP
+
+    T = blocks.shape[0]
+    M = _dft_mats_aligned()
+    pad = (-T) % F
+    bp = (
+        jnp.concatenate([blocks, jnp.zeros((pad, BLOCK_LEN), blocks.dtype)], axis=0)
+        if pad else blocks
+    )
+    Tp = bp.shape[0]
+    prev = jnp.concatenate([jnp.zeros((1, BLOCK_LEN), bp.dtype), bp[:-1]], axis=0)
+    re, im, re_n, mag512, mag_n = EP.enhance_fwd_pallas(
+        prev, bp, M["WC"], M["WS"], M["nyq"], F=F, interpret=interpret
+    )
+    speech = vad_flags(bp, jnp.float32)
+    mags = jnp.concatenate([mag512, mag_n], axis=-1)  # (Tp, 513)
+    ns = _noise_latch_closed_form(speech, mags)
+    head, w2, y512 = EP.enhance_back_pallas(
+        re, im, re_n, ns[:, :512], ns[:, 512:513],
+        M["UC512"], M["VS512"], M["u_nyq"], M["y512col"],
+        mode=mode, F=F, interpret=interpret,
+    )
+    tail = jnp.concatenate([y512, jnp.flip(w2[:, 1:], axis=-1)], axis=-1)
+    tail_prev = jnp.concatenate([jnp.zeros((1, BLOCK_LEN), head.dtype), tail[:-1]], axis=0)
+    t_idx = jnp.arange(Tp)
+    valid = t_idx >= 1
+    ola = jnp.where(
+        valid[:, None], head + jnp.where((t_idx >= 2)[:, None], tail_prev, 0.0), 0.0
+    )
+    out = c_short_jnp(ola)
+    write_mask = t_idx >= 2
+    if not emit_all:
+        out = jnp.where(write_mask[:, None], out, 0)
+    return out[:T], write_mask[:T]
+
+
 def _enhance_fast_mxu(blocks, mode, dtype, precision, emit_all):
     """The TPU speed path: 512-aligned GEMMs, symmetry-halved inverse,
     closed-form noise latch.  Same math as the generic path (ratio
-    resynthesis) up to rounding; SNR contract asserted by tests/bench."""
+    resynthesis) up to rounding; SNR contract asserted by tests/bench.
+
+    On a real accelerator backend with f32/HIGH (the mxu3 config) the two
+    GEMM halves run as fused Pallas kernels (:mod:`kernels.enhance_pallas`);
+    Mosaic is CPU-hostile, so other configs keep the plain-XLA form."""
+    if (
+        dtype == jnp.float32
+        and precision == jax.lax.Precision.HIGH
+        and jax.default_backend() != "cpu"
+    ):
+        return _enhance_fused(blocks, mode, emit_all)
     T = blocks.shape[0]
     M = _dft_mats_aligned()
     WC, WS = jnp.asarray(M["WC"], dtype), jnp.asarray(M["WS"], dtype)

@@ -144,3 +144,34 @@ def test_amdf_kernel_matches_masked_reference(rng):
         want[:, k] = np.abs(u[:, : n - k] - u[:, k:]).sum(axis=1) / (n - k)
     got = np.asarray(amdf_pallas(jnp.asarray(u), interpret=True))
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-3)
+
+
+def test_enhance_fused_kernels_match_xla_path(rng, snr):
+    """The Pallas-fused enhance fast path (interpret mode) matches the
+    plain-XLA fast path (f32, HIGH) and holds the oracle SNR contract."""
+    import jax
+    from jeicyboodsp_tpu.ops import enhance as E
+    from jeicyboodsp_tpu.oracle import enhance as oenh
+
+    n = 512 * 40
+    t = np.arange(n) / 16000
+    speech = 5000 * np.sin(2 * np.pi * 313 * t) * (t > 0.4)
+    x = np.clip(speech + rng.normal(0, 20, n), -32768, 32767).astype(np.int16)
+    blocks = jnp.asarray(x.reshape(-1, 512))
+    for mode in ("wiener", "specsub"):
+        out_f, mask_f = E._enhance_fused(blocks, mode, emit_all=False, interpret=True)
+        out_x, mask_x = E.enhance_blocks(  # CPU: takes the plain-XLA branch
+            blocks, mode=mode, dtype=jnp.float32, use_assoc_scan=True,
+            real_fft=True, resynth="ratio", fft_engine="mxu3",
+        )
+        np.testing.assert_array_equal(np.asarray(mask_f), np.asarray(mask_x))
+        a = np.asarray(out_f)[np.asarray(mask_f)].astype(np.float64)
+        b = np.asarray(out_x)[np.asarray(mask_x)].astype(np.float64)
+        # bf16x3 vs precision=HIGH: identical decomposition, different
+        # grouping -- +-1 LSB after int16 quantization
+        d = np.abs(a - b)
+        assert d.max() <= 1, (mode, d.max())
+        want = oenh.run(x, mode).astype(np.float64)
+        got = a.reshape(-1)
+        s = 10 * np.log10((want ** 2).sum() / max(((want - got) ** 2).sum(), 1e-30))
+        assert s >= 60.0, (mode, s)
