@@ -50,6 +50,7 @@ def main():
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)  # the GEQ check needs real f64
     import jax.numpy as jnp
 
     from jeicyboodsp_tpu.ops.enhance import enhance_blocks
@@ -71,6 +72,22 @@ def main():
             "max_lsb_diff": int(d.max()),
             "flip_fraction": float((d > 0).mean()),
         }
+
+    # sequence-parallel GEQ (state-space cascade; round 2)
+    from jeicyboodsp_tpu.ops.geq import geq_apply_fast, geq_coefficients
+    from jeicyboodsp_tpu.parallel.sharded import geq_sharded
+
+    bg, ag = geq_coefficients()
+    xg = jnp.asarray(x[: 512 * 8])
+    want_g = np.asarray(geq_apply_fast(xg, bg, ag, dtype=jnp.float64))
+    report["virtual_cpu_mesh"]["geq_timesharded"] = {}
+    for n in (2, 8):
+        mesh = make_mesh((n,), ("time",), devices=jax.devices()[:n])
+        got_g = np.asarray(geq_sharded(xg, bg, ag, mesh, dtype=jnp.float64))
+        # max error relative to signal RMS (pointwise relative explodes at
+        # zero crossings); ulp-class regrouping differences expected
+        err = float(np.max(np.abs(got_g - want_g)) / np.sqrt(np.mean(want_g ** 2)))
+        report["virtual_cpu_mesh"]["geq_timesharded"][n] = {"max_err_over_rms": err}
 
     for shards in (2, 4, 8, 16, 64):
         for t_loc in (512, 2048, 16384):
