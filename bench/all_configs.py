@@ -25,14 +25,18 @@ def cpp_sps(binary, args_builder, n_samples, per_sample_files=1):
     if not os.path.exists(path):
         return None
     args, cleanup_inputs = args_builder()
-    t0 = time.perf_counter()
-    subprocess.run(
-        [path] + args,
-        stdin=subprocess.DEVNULL,
-        stdout=subprocess.DEVNULL,
-        stderr=subprocess.DEVNULL,
-    )
-    return n_samples / (time.perf_counter() - t0)
+    best = None
+    for _ in range(2):  # best-of-2: single runs scattered ~2x with host load
+        t0 = time.perf_counter()
+        subprocess.run(
+            [path] + args,
+            stdin=subprocess.DEVNULL,
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        )
+        sps = n_samples / (time.perf_counter() - t0)
+        best = sps if best is None else max(best, sps)
+    return best
 
 
 def amortized(fn_calls, n1=1, n2=5):
@@ -488,7 +492,7 @@ def main(groups=None):
 
         return jax.lax.fori_loop(0, n, body, (fr, jnp.float32(0)))[1]
 
-    per = amortized(lambda k: jax.device_get(lpc_chain(lframes, k)), n1=2, n2=12)
+    per = amortized(lambda k: jax.device_get(lpc_chain(lframes, k)), n1=2, n2=42)
     write_wav("/tmp/b_lpc.wav", xl2[: fs * 60], fs)
     base = cpp_sps("lpc", lambda: (["/tmp/b_lpc.wav", "/tmp/b_lpc.out"], None), fs * 60)
     results["lpc"] = {"tpu_sps": Tl * 256 / per, "cpp_sps": base}

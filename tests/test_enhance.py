@@ -127,3 +127,24 @@ def test_fast_mxu_path_matches_oracle_f64(rng):
         use_assoc_scan=True, real_fft=True, resynth="ratio", fft_engine="mxu",
     )
     assert np.abs(np.asarray(outz)).max() == 0
+
+
+def test_noise_closed_form_random_patterns():
+    """Property test: the closed-form latch equals the sequential scan on
+    random VAD patterns -- hits latch-at-chunk-boundary, multiple latches,
+    latch-never-fires, all-noise and all-speech cases."""
+    import jax.numpy as jnp
+
+    r = np.random.default_rng(3)
+    for trial in range(12):
+        T = int(r.integers(3, 300))
+        p_speech = r.random()
+        speech = jnp.asarray(r.random(T) > p_speech)
+        if trial == 0:
+            speech = jnp.zeros(T, bool)  # all noise: halving every step
+        if trial == 1:
+            speech = jnp.ones(T, bool)  # all speech: ns stays zero
+        mags = jnp.asarray(np.abs(r.normal(0, 10, (T, 5))))
+        want = np.asarray(jenh._noise_scan(speech, mags))
+        got = np.asarray(jenh._noise_latch_closed_form(speech, mags))
+        np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-300, err_msg=str(trial))
