@@ -58,7 +58,8 @@ def amortized(fn_calls, n1=1, n2=5):
         if per > 0 and (t2 - t1) > 0.25 * t1:
             return per
         n2 = n1 + (n2 - n1) * 4  # widen the spread; recompiles once per k
-    return per
+    return float("nan")  # jitter-dominated after retries: visibly invalid,
+    # never a silently-wrong committed row
 
 
 def main(groups=None):

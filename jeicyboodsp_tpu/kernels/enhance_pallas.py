@@ -95,6 +95,9 @@ def enhance_fwd_pallas(prev, cur, WC, WS, nyq, F: int = 256, interpret: bool = F
 
 
 def _make_back_kernel(mode: str, y512n: float):
+    if mode not in ("wiener", "specsub"):  # CPU path raises; match it here
+        raise ValueError(mode)
+
     def kernel(uc, vs, unyq, ycol, re_ref, im_ref, ren_ref, ns_ref, nsn_ref,
                head_ref, w2_ref, y512_ref):
         re = re_ref[...]

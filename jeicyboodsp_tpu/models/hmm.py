@@ -100,12 +100,15 @@ def viterbi(frames, alpha, mean, cov, eigvec, trans, compat: bool = True):
     p_last, (P, back) = jax.lax.scan(step, p0, log_emis[1:])
     last = jnp.argmax(p_last)
 
+    # reverse scan over back[j] (the best predecessor of the state at time
+    # j+1): carry = state at time t, emit state at time t-1, so the stacked
+    # outputs are path[0..T-2] and `last` is path[T-1]
     def bt(state, b_t):
         prev = b_t[state]
-        return prev, state
+        return prev, prev
 
-    _, path_rev = jax.lax.scan(bt, last, back, reverse=True)
-    path = jnp.concatenate([path_rev, last[None]])
+    _, path_head = jax.lax.scan(bt, last, back, reverse=True)
+    path = jnp.concatenate([path_head, last[None]])
     return path, jnp.max(p_last)
 
 
@@ -154,12 +157,12 @@ def viterbi_batched(frames, lengths, alpha, mean, cov, eigvec, trans, compat: bo
         p_last, (P, back) = jax.lax.scan(step, p0, (log_emis[1:], ts))
         last = jnp.argmax(p_last)
 
-        def bt(state, b_t):
+        def bt(state, b_t):  # emit the PREDECESSOR: outputs are path[:-1]
             prev = b_t[state]
-            return prev, state
+            return prev, prev
 
-        _, path_rev = jax.lax.scan(bt, last, back, reverse=True)
-        path = jnp.concatenate([path_rev, last[None]])
+        _, path_head = jax.lax.scan(bt, last, back, reverse=True)
+        path = jnp.concatenate([path_head, last[None]])
         return path, jnp.max(p_last)
 
     return jax.vmap(one)(frames, lengths)

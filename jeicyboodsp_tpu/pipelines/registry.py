@@ -260,12 +260,19 @@ def stream_enhance(
     start_block, out_bytes = 0, 0
     if ckpt and os.path.exists(ckpt):
         data = np.load(ckpt)
-        start_block = int(data["block"])
-        out_bytes = int(data["out_bytes"])
-        n_leaves = len([k for k in data.files if k.startswith("leaf_")])
-        leaves = [data[f"leaf_{i}"] for i in range(n_leaves)]
-        _, treedef = jax.tree_util.tree_flatten(sess.state)
-        sess.state = jax.tree_util.tree_unflatten(treedef, leaves)
+        block_ck = int(data["block"])
+        bytes_ck = int(data["out_bytes"])
+        # the checkpoint only commits bytes that were fsync'd, so a shorter
+        # (or missing) output file means the pair is inconsistent -- e.g. the
+        # output was deleted, or --ckpt points at a stale file.  Restarting
+        # from block 0 keeps the byte-identical contract; truncate-extending
+        # with 'wb' would silently zero-fill the missing prefix.
+        if os.path.exists(out) and os.path.getsize(out) >= bytes_ck:
+            start_block, out_bytes = block_ck, bytes_ck
+            n_leaves = len([k for k in data.files if k.startswith("leaf_")])
+            leaves = [data[f"leaf_{i}"] for i in range(n_leaves)]
+            _, treedef = jax.tree_util.tree_flatten(sess.state)
+            sess.state = jax.tree_util.tree_unflatten(treedef, leaves)
 
     f = open(out, "r+b" if (out_bytes and os.path.exists(out)) else "wb")
     f.truncate(out_bytes)

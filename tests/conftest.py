@@ -6,7 +6,7 @@ SURVEY.md §4 (no pod required); compat-mode numerics need x64.
 
 import os
 
-TPU_LANE = bool(os.environ.get("JEICYBOO_TPU_TESTS"))  # test_tpu_only.py lane
+TPU_LANE = os.environ.get("JEICYBOO_TPU_TESTS", "").lower() not in ("", "0", "false", "no")  # test_tpu_only.py lane
 
 if not TPU_LANE:
     os.environ["JAX_PLATFORMS"] = "cpu"  # force: env presets the TPU backend

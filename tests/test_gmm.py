@@ -323,3 +323,54 @@ def test_hmm_trainer_recovers_known_parameters():
     assert (np.diag(trans) > 0.7).all(), np.diag(trans)
     # decode reproduces the generating path almost everywhere
     assert (path == truth).mean() > 0.9, (path, truth)
+
+
+def test_viterbi_corrected_backtrace_is_optimal():
+    """Regression for the backtrace off-by-one (the reverse scan emitted the
+    carry, shifting the path left by one): the non-compat decode's path must
+    BE the brute-force argmax path, and its score must equal scoring that
+    path step by step."""
+    import itertools
+
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(71)
+    S, T = 6, 6
+    states = []
+    for m in range(S):
+        a = np.full(4, 0.25)
+        mn = np.zeros((4, 12))
+        mn[:, :4] = rng.normal(0, 2, (4, 4))
+        cv = np.stack([np.eye(12) * 0.8 for _ in range(4)])
+        q, _ = np.linalg.qr(rng.normal(0, 1, (12, 12)))
+        ev = np.stack([q[:, :4] for _ in range(4)])
+        states.append((a, mn, cv, ev))
+    trans = rng.dirichlet(np.ones(S), size=S)
+    obs = rng.normal(0, 1.5, (T, 12))
+
+    alpha6 = jnp.asarray(np.stack([s[0] for s in states]))
+    mean6 = jnp.asarray(np.stack([s[1] for s in states]))
+    cov6 = jnp.asarray(np.stack([s[2] for s in states]))
+    ev6 = jnp.asarray(np.stack([s[3] for s in states]))
+    path, score = mhmm.viterbi(
+        jnp.asarray(obs), alpha6, mean6, cov6, ev6, jnp.asarray(trans), compat=False
+    )
+    path = np.asarray(path)
+
+    le = np.log(np.asarray(mhmm.emissions(jnp.asarray(obs), alpha6, mean6, cov6, ev6)))
+    lt = np.log(trans)
+
+    def path_score(p):
+        s0 = le[0, p[0]] + np.log(1.0 / S)
+        return s0 + sum(lt[p[i - 1], p[i]] + le[i, p[i]] for i in range(1, T))
+
+    best = max(itertools.product(range(S), repeat=T), key=path_score)
+    assert tuple(path) == best, (tuple(path), best)
+    np.testing.assert_allclose(float(score), path_score(best), rtol=1e-5)
+
+    # batched decode agrees
+    paths, scores = mhmm.viterbi_batched(
+        jnp.asarray(obs[None]), jnp.asarray([T]), alpha6, mean6, cov6, ev6,
+        jnp.asarray(trans), compat=False,
+    )
+    np.testing.assert_array_equal(np.asarray(paths)[0], path)
