@@ -99,7 +99,7 @@ def main(groups=None):
 
             return jax.lax.fori_loop(0, n, body, (b, jnp.int32(0)))[1]
 
-        per = amortized(lambda k: jax.device_get(chained(blocks, k)))
+        per = amortized(lambda k: jax.device_get(chained(blocks, k)), n1=2, n2=27)
         # SNR probe
         from jeicyboodsp_tpu.oracle import enhance as oenh
 

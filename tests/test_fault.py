@@ -65,3 +65,47 @@ def test_kill_and_resume_byte_identical(rng, tmp_path):
     sess = EnhanceSession("wiener")
     want = sess.process(x.reshape(-1, 512))
     np.testing.assert_array_equal(a, want)
+
+
+def test_stream_edge_cases(tmp_path):
+    """Empty and sub-chunk inputs through the stream pipeline."""
+    from jeicyboodsp_tpu.pipelines.registry import stream_enhance
+
+    empty = str(tmp_path / "empty.pcm")
+    open(empty, "wb").close()
+    out = str(tmp_path / "out.pcm")
+    stream_enhance(empty, out, "wiener")
+    assert os.path.getsize(out) == 0
+
+    short = str(tmp_path / "short.pcm")
+    write_pcm16(short, np.zeros(300, np.int16))  # < one block
+    stream_enhance(short, out, "wiener")
+    assert os.path.getsize(out) == 0  # no full block -> no output
+
+
+def test_stream_resume_with_deleted_output(rng, tmp_path):
+    """A checkpoint whose output file was deleted restarts from scratch and
+    still produces byte-identical output (no zero-filled prefix)."""
+    from jeicyboodsp_tpu.pipelines.registry import stream_enhance
+
+    n = 512 * 24
+    t = np.arange(n) / 16000
+    x = np.clip(
+        5000 * np.sin(2 * np.pi * 313 * t) * (t > 0.3) + rng.normal(0, 20, n),
+        -32768, 32767,
+    ).astype(np.int16)
+    inp = str(tmp_path / "in.pcm")
+    write_pcm16(inp, x)
+    ref_out = str(tmp_path / "ref.pcm")
+    stream_enhance(inp, ref_out, "wiener")
+
+    out = str(tmp_path / "o.pcm")
+    ck = str(tmp_path / "ck.npz")
+    # the fault injector os._exit()s -- must run in a subprocess
+    r = _cli("stream", inp, out, "wiener", "--ckpt", ck, "--ckpt-every", "2",
+             "--crash-after", "3")
+    assert r.returncode == 137
+    assert os.path.exists(ck)
+    os.remove(out)  # user deletes the partial output; checkpoint is stale
+    stream_enhance(inp, out, "wiener", ckpt=ck)
+    np.testing.assert_array_equal(read_pcm16(out), read_pcm16(ref_out))
