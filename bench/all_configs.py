@@ -316,7 +316,9 @@ def main(groups=None):
 
         return jax.lax.fori_loop(0, n, body, (l, jnp.int32(0)))[1]
 
-    per = amortized(lambda k: jax.device_get(mv_chain(ml, mr, k)))
+    # theta=0 collapsed path is VPU-elementwise (~34 G samples/s): the
+    # timing window must out-scale tunnel jitter by a wide margin
+    per = amortized(lambda k: jax.device_get(mv_chain(ml, mr, k)), n1=2, n2=302)
     from jeicyboodsp_tpu.oracle import mvdr as omv
 
     want = omv.run(xl_[: 64 * 512], xr_[: 64 * 512])

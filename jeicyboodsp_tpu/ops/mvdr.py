@@ -46,12 +46,25 @@ def vad_energy_flags(blocks, dtype=jnp.float64):
     return energy > THRESHOLD_OF_ENERGY
 
 
-@functools.partial(jax.jit, static_argnames=("dtype", "fft_engine"))
-def mvdr_blocks(blocks_l, blocks_r, d_time=0.0, dtype=jnp.float64, fft_engine: str = "xla"):
+@functools.partial(jax.jit, static_argnames=("dtype", "fft_engine", "d_time"))
+def mvdr_blocks(blocks_l, blocks_r, d_time: float = 0.0, dtype=jnp.float64, fft_engine: str = "xla"):
     """(T, 512) int16 per channel -> ((T, 512) int16, write_mask (T,)).
 
     ``fft_engine="mxu3"`` (f32 only) evaluates the four real-input forward
-    FFTs and the non-Hermitian inverse as MXU matmuls (see ops/dft.py)."""
+    FFTs and the non-Hermitian inverse as MXU matmuls (see ops/dft.py).
+
+    For the reference's actual steering (theta=0, ``:57-60`` -> d_time=0,
+    c = [1, 1] at every bin) the fast engine uses a STRUCTURAL collapse:
+    for real inputs the broadband off-diagonal correlation is exactly zero
+    (Parseval: sum_k L_k conj(R_k) = n<l, r> is real, so its accumulated
+    imaginary part vanishes; the reference's nonzero r01 is pure f64
+    roundoff), hence R is diagonal, the MVDR weights are REAL per-block
+    scalars w0 = d/(a+d), w1 = a/(a+d) with a/d the accumulated channel
+    energies (Parseval again: no FFT needed), the overwrite-sequencing
+    quirk is a no-op for real weights, and the spectral round-trip
+    commutes with the scalar mix: y = w0*frame_l + w1*frame_r.  The whole
+    beamformer becomes VPU elementwise work -- no transforms at all.
+    ``d_time`` is static so the collapse is a trace-time decision."""
     T = blocks_l.shape[0]
     fdtype = dtype
     ctype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
@@ -78,6 +91,23 @@ def mvdr_blocks(blocks_l, blocks_r, d_time=0.0, dtype=jnp.float64, fft_engine: s
     prev_r = jnp.concatenate([jnp.zeros((1, BLOCK_LEN), blocks_r.dtype), blocks_r[:-1]])
     pairs_l = jnp.concatenate([prev_l, blocks_l], axis=1).astype(fdtype)
     pairs_r = jnp.concatenate([prev_r, blocks_r], axis=1).astype(fdtype)
+
+    if use_mxu and float(d_time) == 0.0:
+        # theta=0 structural collapse (see docstring): diagonal R from
+        # time-domain energies, real scalar weights, scalar channel mix
+        acc_f = accumulate.astype(fdtype)
+        a = jnp.cumsum(jnp.sum(pairs_l * pairs_l, axis=1) * acc_f)  # Parseval
+        d = jnp.cumsum(jnp.sum(pairs_r * pairs_r, axis=1) * acc_f)
+        denom = a + d
+        w0 = d / denom  # 0/0 -> NaN before any accumulation, as the
+        w1 = a / denom  # unchecked 2x2 inverse's NaN weights
+        # y = ifft(w0 L + w1 R).real = w0 l + w1 r, and the emitted slice
+        # frame[511:1023] is exactly the current block, so the keep buffer
+        # drops out entirely
+        y = w0[:, None] * blocks_l.astype(fdtype) + w1[:, None] * blocks_r.astype(fdtype)
+        out = c_short_jnp(y)
+        write_mask = jnp.arange(T) >= 1
+        return out, write_mask
     if use_mxu:
         Lfr, Lfi = mdft.cdft_of_real_full(pairs_l, precision=prec)
         Rfr, Rfi = mdft.cdft_of_real_full(pairs_r, precision=prec)
