@@ -4,6 +4,12 @@ single-core C++ reference samples/s, and SNR vs the f64 oracle.
 
 Writes bench/results.json and prints a table.  The headline driver metric
 stays in ../bench.py; this feeds BASELINE.md.
+
+Usage: ``python bench/all_configs.py [row ...]`` -- with row names
+(e.g. ``mvdr fastconv``) only those sections run and their rows are
+merge-updated into results.json; with no arguments everything runs and the
+file is rewritten.  Rows with shared setup pull in their dependency
+(``bnlms_pallas``->``bnlms``, ``pitch2/3``->``pitch1`` signal).
 """
 
 import json
@@ -73,546 +79,596 @@ def main(groups=None):
     results = {}
     fs = 16000
 
+    def _want(*names):
+        return groups is None or bool(groups & set(names))
+
     def mixed_signal(n, fs_=16000):
         t = np.arange(n) / fs_
         sp = 5000 * np.sin(2 * np.pi * 313 * t) * (np.sin(2 * np.pi * 0.5 * t) > 0.2)
         return np.clip(sp + rng.normal(0, 20, n), -32768, 32767).astype(np.int16)
 
     # ---------------- enhancement (wiener + specsub) ----------------
-    from jeicyboodsp_tpu.ops.enhance import enhance_blocks
+    if _want("enhance", "enhance_wiener", "enhance_specsub"):
+        from jeicyboodsp_tpu.ops.enhance import enhance_blocks
 
-    T = 16384
-    x = mixed_signal(T * 512)
-    blocks = jnp.asarray(x.reshape(T, 512))
-    for mode in ("wiener", "specsub"):
-        FAST = dict(
-            mode=mode, dtype=jnp.float32, use_assoc_scan=True, real_fft=True,
-            resynth="ratio", fft_engine="mxu3",
-        )
+        T = 16384
+        x = mixed_signal(T * 512)
+        blocks = jnp.asarray(x.reshape(T, 512))
+        for mode in ("wiener", "specsub"):
+            FAST = dict(
+                mode=mode, dtype=jnp.float32, use_assoc_scan=True, real_fft=True,
+                resynth="ratio", fft_engine="mxu3",
+            )
+
+            @partial(jax.jit, static_argnames=("n",))
+            def chained(b, n):
+                def body(i, carry):
+                    cur, acc = carry
+                    out, _ = enhance_blocks(cur, **FAST)
+                    return cur + (out & 1).astype(jnp.int16), acc + jnp.sum(out.astype(jnp.int32))
+
+                return jax.lax.fori_loop(0, n, body, (b, jnp.int32(0)))[1]
+
+            per = amortized(lambda k: jax.device_get(chained(blocks, k)), n1=2, n2=27)
+            # SNR probe
+            from jeicyboodsp_tpu.oracle import enhance as oenh
+
+            probe = x[: 256 * 512]
+            want = oenh.run(probe, mode)
+            got, m = enhance_blocks(jnp.asarray(probe.reshape(-1, 512)), **FAST)
+            got = np.asarray(got)[np.asarray(m)].reshape(-1)
+            # C++ baseline
+            write_pcm16("/tmp/b_in.pcm", x[: fs * 60])
+            base = cpp_sps(mode if mode != "specsub" else "specsub", lambda: (["/tmp/b_in.pcm", "/tmp/b_out.pcm"], None), fs * 60)
+            results[f"enhance_{mode}"] = {
+                "tpu_sps": T * 512 / per,
+                "cpp_sps": base,
+                "snr_db": snr_db(want, got),
+            }
+
+    # ---------------- GEQ ----------------
+    if _want("geq"):
+        from jeicyboodsp_tpu.kernels.biquad_pallas import geq_cascade_pallas, pack_coefficients
+        from jeicyboodsp_tpu.ops.geq import geq_coefficients
+
+        b, a = geq_coefficients()
+        coef = pack_coefficients(b, a)
+        B, Tg = 2048, 49152
+        xg = jnp.asarray(rng.normal(0, 1000, (B, Tg)).astype(np.float32))
 
         @partial(jax.jit, static_argnames=("n",))
-        def chained(b, n):
+        def geq_chain(x0, n):
+            return jax.lax.fori_loop(0, n, lambda i, acc: geq_cascade_pallas(acc, coef), x0)
+
+        per = amortized(lambda k: jax.device_get(geq_chain(xg, k).sum()))
+        tq = np.arange(512 * 187) / 48000.0
+        xq = np.clip(
+            1200 * np.sin(2 * np.pi * 700 * tq) + rng.normal(0, 150, 512 * 187), -32768, 32767
+        ).astype(np.int16)  # quiet: the +12dB bands must not hit the int16 wrap the
+        # reference's requantization applies (fast mode is deliberately unwrapped)
+        from jeicyboodsp_tpu.oracle import geq as ogeq
+
+        want = ogeq.run(xq)  # compat (native) path is bit-exact; measure fast-path SNR
+        fast = np.asarray(geq_cascade_pallas(jnp.asarray(xq[None].astype(np.float32)), coef))[0]
+        write_wav("/tmp/b_geq.wav", mixed_signal(48000 * 60, 48000), 48000)
+        base = cpp_sps("geq", lambda: (["/tmp/b_geq.wav", "/tmp/b_geq_out.pcm"], None), 48000 * 60)
+
+        # quantized-feedback df32 kernel: bit-exact compat ON TPU
+        from jeicyboodsp_tpu.kernels.biquad_pallas import (
+            geq_cascade_pallas_quant,
+            pack_coefficients_df,
+        )
+
+        coef_df = jnp.asarray(pack_coefficients_df(b, a))
+
+        @partial(jax.jit, static_argnames=("n",))
+        def geq_chain_q(x0, n):
+            return jax.lax.fori_loop(
+                0, n, lambda i, acc: geq_cascade_pallas_quant(acc, coef_df)[0], x0
+            )
+
+        per_q = amortized(lambda k: jax.device_get(geq_chain_q(xg, k).sum()))
+        got_q = np.asarray(geq_cascade_pallas_quant(jnp.asarray(xq[None]), coef_df)[0])[0]
+        results["geq"] = {
+            "tpu_sps": B * Tg / per,
+            "tpu_sps_quant_compat": B * Tg / per_q,
+            "cpp_sps": base,
+            "snr_db_fast_vs_ref": snr_db(want, np.trunc(fast)),
+            "quant_kernel_exact": bool((got_q.astype(np.int64) == want.astype(np.int64)).all()),
+            "compat_exact": True,  # native kernel, asserted in tests
+        }
+
+    # ---------------- fast convolution ----------------
+    if _want("fastconv"):
+        from jeicyboodsp_tpu.ops.fastconv import (
+            _toeplitz_matrix,
+            fastconv_blocks,
+            fastconv_blocks_gemm,
+            filter_spectrum,
+        )
+
+        Tc = 2048
+        xc = mixed_signal(Tc * 1024)
+        cblocks = jnp.asarray(xc.reshape(Tc, 1024))
+        H32r, H32i = filter_spectrum(dtype=jnp.float32, real_fft=True)
+
+        @partial(jax.jit, static_argnames=("n",))
+        def fc_chain(bk, n):
             def body(i, carry):
                 cur, acc = carry
-                out, _ = enhance_blocks(cur, **FAST)
-                return cur + (out & 1).astype(jnp.int16), acc + jnp.sum(out.astype(jnp.int32))
+                out = fastconv_blocks(cur, H32r, H32i, dtype=jnp.float32, real_fft=True)
+                nxt = cur.at[7:].set(cur[7:] + (out & 1).astype(jnp.int16))
+                return nxt, acc + jnp.sum(out.astype(jnp.int32))
 
-            return jax.lax.fori_loop(0, n, body, (b, jnp.int32(0)))[1]
+            return jax.lax.fori_loop(0, n, body, (bk, jnp.int32(0)))[1]
 
-        per = amortized(lambda k: jax.device_get(chained(blocks, k)), n1=2, n2=27)
-        # SNR probe
-        from jeicyboodsp_tpu.oracle import enhance as oenh
+        per = amortized(lambda k: jax.device_get(fc_chain(cblocks, k)))
+        from jeicyboodsp_tpu.oracle import fastconv as ofc
 
-        probe = x[: 256 * 512]
-        want = oenh.run(probe, mode)
-        got, m = enhance_blocks(jnp.asarray(probe.reshape(-1, 512)), **FAST)
-        got = np.asarray(got)[np.asarray(m)].reshape(-1)
-        # C++ baseline
-        write_pcm16("/tmp/b_in.pcm", x[: fs * 60])
-        base = cpp_sps(mode if mode != "specsub" else "specsub", lambda: (["/tmp/b_in.pcm", "/tmp/b_out.pcm"], None), fs * 60)
-        results[f"enhance_{mode}"] = {
-            "tpu_sps": T * 512 / per,
+        probe = xc[: 64 * 1024]
+        want = ofc.run(probe)
+        got = np.asarray(
+            fastconv_blocks(jnp.asarray(probe.reshape(-1, 1024)), H32r, H32i, dtype=jnp.float32, real_fft=True)
+        ).reshape(-1)
+        write_wav("/tmp/b_fc.wav", xc[: fs * 60], fs)
+        base = cpp_sps("fastconv", lambda: (["/tmp/b_fc.wav", "/tmp/b_fc_out.pcm"], None), fs * 60)
+        from jeicyboodsp_tpu.ops.fastconv import fastconv_blocks_sparse
+
+        @partial(jax.jit, static_argnames=("n",))
+        def fc_chain_sp(bk, n):
+            def body(i, carry):
+                cur, acc = carry
+                out = fastconv_blocks_sparse(cur, dtype=jnp.float32)
+                nxt = cur.at[7:].set(cur[7:] + (out & 1).astype(jnp.int16))
+                return nxt, acc + jnp.sum(out.astype(jnp.int32))
+
+            return jax.lax.fori_loop(0, n, body, (bk, jnp.int32(0)))[1]
+
+        per_sp = amortized(lambda k: jax.device_get(fc_chain_sp(cblocks, k)), n1=2, n2=12)
+        got_sp = np.asarray(
+            fastconv_blocks_sparse(jnp.asarray(probe.reshape(-1, 1024)), dtype=jnp.float32)
+        ).reshape(-1)
+
+        # dense direct-GEMM engine: one banded-Toeplitz MXU matmul per hop
+        Mdev = jax.device_put(jnp.asarray(_toeplitz_matrix("float32")))
+
+        @partial(jax.jit, static_argnames=("n",))
+        def fc_chain_gm(bk, M, n):
+            def body(i, carry):
+                cur, acc = carry
+                out = fastconv_blocks_gemm(cur, M, dtype=jnp.float32)
+                nxt = cur.at[7:].set(cur[7:] + (out & 1).astype(jnp.int16))
+                return nxt, acc + jnp.sum(out.astype(jnp.int32))
+
+            return jax.lax.fori_loop(0, n, body, (bk, jnp.int32(0)))[1]
+
+        per_gm = amortized(lambda k: jax.device_get(fc_chain_gm(cblocks, Mdev, k)), n1=2, n2=12)
+        got_gm = np.asarray(
+            fastconv_blocks_gemm(jnp.asarray(probe.reshape(-1, 1024)), Mdev, dtype=jnp.float32)
+        ).reshape(-1)
+        results["fastconv"] = {
+            "tpu_sps": Tc * 1024 / per,
+            "tpu_sps_sparse": Tc * 1024 / per_sp,
+            "tpu_sps_gemm": Tc * 1024 / per_gm,
+            "cpp_sps": base,
+            "snr_db": snr_db(want, got),
+            "snr_db_sparse": snr_db(want, got_sp),
+            "snr_db_gemm": snr_db(want, got_gm),
+        }
+
+    # ---------------- BNLMS ----------------
+    if _want("bnlms", "bnlms_pallas"):
+        from jeicyboodsp_tpu.ops.nlms import bnlms_apply, bnlms_init_state
+
+        Tb = 512
+        xb_ = mixed_signal(Tb * 1024)
+        h = rng.normal(0, 0.1, 32)
+        h[0] = 0.5
+        rb_ = np.clip(np.convolve(xb_.astype(np.float64), h)[: Tb * 1024], -32768, 32767).astype(np.int16)
+        xb = jnp.asarray(xb_.reshape(Tb, 1024))
+        rb = jnp.asarray(rb_.reshape(Tb, 1024))
+
+        NSTREAMS = 16  # parallel AEC sessions (vmapped) -- the serving workload
+        xbm = jnp.broadcast_to(xb, (NSTREAMS,) + xb.shape)
+        rbm = jnp.broadcast_to(rb, (NSTREAMS,) + rb.shape)
+
+        @partial(jax.jit, static_argnames=("n",))
+        def bn_chain(xx, rr, n):
+            def one(x1, r1):
+                est, err, _ = bnlms_apply(x1, r1, bnlms_init_state(jnp.float32), dtype=jnp.float32)
+                return est, err
+
+            def body(i, carry):
+                x0, acc = carry
+                est, err = jax.vmap(one)(x0, rr)
+                return x0 + (est & 1).astype(jnp.int16), acc + jnp.sum(err.astype(jnp.int32))
+
+            return jax.lax.fori_loop(0, n, body, (xx, jnp.int32(0)))[1]
+
+        per = amortized(lambda k: jax.device_get(bn_chain(xbm, rbm, k)))
+        per = per / NSTREAMS
+        from jeicyboodsp_tpu.oracle import nlms as onl
+
+        pe, perr = onl.run_bnlms(xb_[: 16 * 1024], rb_[: 16 * 1024])
+        est, err, _ = bnlms_apply(
+            jnp.asarray(xb_[: 16 * 1024].reshape(-1, 1024)),
+            jnp.asarray(rb_[: 16 * 1024].reshape(-1, 1024)),
+            bnlms_init_state(jnp.float32),
+            dtype=jnp.float32,
+        )
+        got = np.asarray(est)[1:].reshape(-1)
+        write_wav("/tmp/b_nl_in.wav", xb_[: fs * 30], fs)
+        write_pcm16("/tmp/b_nl_ref.pcm", rb_[: fs * 30])
+        base = cpp_sps(
+            "bnlms",
+            lambda: (["/tmp/b_nl_in.wav", "/tmp/b_nl_ref.pcm", "/tmp/b_e.pcm", "/tmp/b_r.pcm"], None),
+            fs * 30,
+        )
+        results["bnlms"] = {
+            "tpu_sps": Tb * 1024 / per,
+            "cpp_sps": base,
+            "snr_db": snr_db(pe, got),
+        }
+
+        # ------------ BNLMS (Pallas df32, bit-exact compat, 1024 streams) ----
+        if _want("bnlms_pallas"):
+            from jeicyboodsp_tpu.kernels.nlms_pallas import bnlms_pallas
+
+            Bbn, Tbn = 1024, 65536
+            xbn = jnp.asarray(rng.integers(-3000, 3000, (Bbn, Tbn)).astype(np.int16))
+            rbn = jnp.asarray(rng.integers(-3000, 3000, (Bbn, Tbn)).astype(np.int16))
+
+            @partial(jax.jit, static_argnames=("k",))
+            def bnp_chain(xx, rr, k):
+                def body(i, acc):
+                    e1, _ = bnlms_pallas(acc, rr)
+                    return acc + (e1 & 1)
+
+                return jax.lax.fori_loop(0, k, body, xx)
+
+            per = amortized(lambda k: jax.device_get(bnp_chain(xbn, rbn, k)[0, :4]))
+            gb = np.asarray(
+                bnlms_pallas(jnp.asarray(xb_[None, : 16 * 1024]), jnp.asarray(rb_[None, : 16 * 1024]))[0]
+            )[0][1024:]
+            results["bnlms_pallas"] = {
+                "tpu_sps": Bbn * Tbn / per,
+                "cpp_sps": base,
+                "kernel_exact_vs_oracle": bool((gb.astype(np.int64) == pe.astype(np.int64)).all()),
+            }
+
+    # ---------------- MVDR ----------------
+    if _want("mvdr"):
+        from jeicyboodsp_tpu.ops.mvdr import mvdr_blocks
+
+        Tm = 8192
+        sp = mixed_signal(Tm * 512)
+        xl_ = sp
+        xr_ = np.clip(0.8 * sp.astype(np.float64) + rng.normal(0, 15, len(sp)), -32768, 32767).astype(np.int16)
+        ml = jnp.asarray(xl_.reshape(Tm, 512))
+        mr = jnp.asarray(xr_.reshape(Tm, 512))
+
+        @partial(jax.jit, static_argnames=("n",))
+        def mv_chain(l, r, n):
+            def body(i, carry):
+                l0, acc = carry
+                out, _ = mvdr_blocks(l0, r, 0.0, dtype=jnp.float32, fft_engine="mxu3")
+                return l0 + (out & 1).astype(jnp.int16), acc + jnp.sum(out.astype(jnp.int32))
+
+            return jax.lax.fori_loop(0, n, body, (l, jnp.int32(0)))[1]
+
+        # theta=0 collapsed path is VPU-elementwise (~34 G samples/s): the
+        # timing window must out-scale tunnel jitter by a wide margin
+        per = amortized(lambda k: jax.device_get(mv_chain(ml, mr, k)), n1=2, n2=302)
+        from jeicyboodsp_tpu.oracle import mvdr as omv
+
+        want = omv.run(xl_[: 64 * 512], xr_[: 64 * 512])
+        got, msk = mvdr_blocks(
+            jnp.asarray(xl_[: 64 * 512].reshape(-1, 512)),
+            jnp.asarray(xr_[: 64 * 512].reshape(-1, 512)),
+            0.0,
+            dtype=jnp.float32,
+            fft_engine="mxu3",
+        )
+        got = np.asarray(got)[np.asarray(msk)].reshape(-1)
+        write_wav("/tmp/b_mv_l.wav", xl_[: fs * 30], fs)
+        write_wav("/tmp/b_mv_r.wav", xr_[: fs * 30], fs)
+        base = cpp_sps(
+            "mvdr", lambda: (["/tmp/b_mv_l.wav", "/tmp/b_mv_r.wav", "/tmp/b_mv_o.pcm"], None), fs * 30
+        )
+        results["mvdr"] = {
+            "tpu_sps": Tm * 512 / per,
             "cpp_sps": base,
             "snr_db": snr_db(want, got),
         }
 
-    # ---------------- GEQ ----------------
-    from jeicyboodsp_tpu.kernels.biquad_pallas import geq_cascade_pallas, pack_coefficients
-    from jeicyboodsp_tpu.ops.geq import geq_coefficients
-
-    b, a = geq_coefficients()
-    coef = pack_coefficients(b, a)
-    B, Tg = 2048, 49152
-    xg = jnp.asarray(rng.normal(0, 1000, (B, Tg)).astype(np.float32))
-
-    @partial(jax.jit, static_argnames=("n",))
-    def geq_chain(x0, n):
-        return jax.lax.fori_loop(0, n, lambda i, acc: geq_cascade_pallas(acc, coef), x0)
-
-    per = amortized(lambda k: jax.device_get(geq_chain(xg, k).sum()))
-    tq = np.arange(512 * 187) / 48000.0
-    xq = np.clip(
-        1200 * np.sin(2 * np.pi * 700 * tq) + rng.normal(0, 150, 512 * 187), -32768, 32767
-    ).astype(np.int16)  # quiet: the +12dB bands must not hit the int16 wrap the
-    # reference's requantization applies (fast mode is deliberately unwrapped)
-    from jeicyboodsp_tpu.oracle import geq as ogeq
-
-    want = ogeq.run(xq)  # compat (native) path is bit-exact; measure fast-path SNR
-    fast = np.asarray(geq_cascade_pallas(jnp.asarray(xq[None].astype(np.float32)), coef))[0]
-    write_wav("/tmp/b_geq.wav", mixed_signal(48000 * 60, 48000), 48000)
-    base = cpp_sps("geq", lambda: (["/tmp/b_geq.wav", "/tmp/b_geq_out.pcm"], None), 48000 * 60)
-
-    # quantized-feedback df32 kernel: bit-exact compat ON TPU
-    from jeicyboodsp_tpu.kernels.biquad_pallas import (
-        geq_cascade_pallas_quant,
-        pack_coefficients_df,
-    )
-
-    coef_df = jnp.asarray(pack_coefficients_df(b, a))
-
-    @partial(jax.jit, static_argnames=("n",))
-    def geq_chain_q(x0, n):
-        return jax.lax.fori_loop(
-            0, n, lambda i, acc: geq_cascade_pallas_quant(acc, coef_df)[0], x0
-        )
-
-    per_q = amortized(lambda k: jax.device_get(geq_chain_q(xg, k).sum()))
-    got_q = np.asarray(geq_cascade_pallas_quant(jnp.asarray(xq[None]), coef_df)[0])[0]
-    results["geq"] = {
-        "tpu_sps": B * Tg / per,
-        "tpu_sps_quant_compat": B * Tg / per_q,
-        "cpp_sps": base,
-        "snr_db_fast_vs_ref": snr_db(want, np.trunc(fast)),
-        "quant_kernel_exact": bool((got_q.astype(np.int64) == want.astype(np.int64)).all()),
-        "compat_exact": True,  # native kernel, asserted in tests
-    }
-
-    # ---------------- fast convolution ----------------
-    from jeicyboodsp_tpu.ops.fastconv import fastconv_blocks, filter_spectrum
-
-    Tc = 2048
-    xc = mixed_signal(Tc * 1024)
-    cblocks = jnp.asarray(xc.reshape(Tc, 1024))
-    H32r, H32i = filter_spectrum(dtype=jnp.float32, real_fft=True)
-
-    @partial(jax.jit, static_argnames=("n",))
-    def fc_chain(bk, n):
-        def body(i, carry):
-            cur, acc = carry
-            out = fastconv_blocks(cur, H32r, H32i, dtype=jnp.float32, real_fft=True)
-            nxt = cur.at[7:].set(cur[7:] + (out & 1).astype(jnp.int16))
-            return nxt, acc + jnp.sum(out.astype(jnp.int32))
-
-        return jax.lax.fori_loop(0, n, body, (bk, jnp.int32(0)))[1]
-
-    per = amortized(lambda k: jax.device_get(fc_chain(cblocks, k)))
-    from jeicyboodsp_tpu.oracle import fastconv as ofc
-
-    probe = xc[: 64 * 1024]
-    want = ofc.run(probe)
-    got = np.asarray(
-        fastconv_blocks(jnp.asarray(probe.reshape(-1, 1024)), H32r, H32i, dtype=jnp.float32, real_fft=True)
-    ).reshape(-1)
-    write_wav("/tmp/b_fc.wav", xc[: fs * 60], fs)
-    base = cpp_sps("fastconv", lambda: (["/tmp/b_fc.wav", "/tmp/b_fc_out.pcm"], None), fs * 60)
-    from jeicyboodsp_tpu.ops.fastconv import fastconv_blocks_sparse
-
-    @partial(jax.jit, static_argnames=("n",))
-    def fc_chain_sp(bk, n):
-        def body(i, carry):
-            cur, acc = carry
-            out = fastconv_blocks_sparse(cur, dtype=jnp.float32)
-            nxt = cur.at[7:].set(cur[7:] + (out & 1).astype(jnp.int16))
-            return nxt, acc + jnp.sum(out.astype(jnp.int32))
-
-        return jax.lax.fori_loop(0, n, body, (bk, jnp.int32(0)))[1]
-
-    per_sp = amortized(lambda k: jax.device_get(fc_chain_sp(cblocks, k)), n1=2, n2=12)
-    got_sp = np.asarray(
-        fastconv_blocks_sparse(jnp.asarray(probe.reshape(-1, 1024)), dtype=jnp.float32)
-    ).reshape(-1)
-    results["fastconv"] = {
-        "tpu_sps": Tc * 1024 / per,
-        "tpu_sps_sparse": Tc * 1024 / per_sp,
-        "cpp_sps": base,
-        "snr_db": snr_db(want, got),
-        "snr_db_sparse": snr_db(want, got_sp),
-    }
-
-    # ---------------- BNLMS ----------------
-    from jeicyboodsp_tpu.ops.nlms import bnlms_apply, bnlms_init_state
-
-    Tb = 512
-    xb_ = mixed_signal(Tb * 1024)
-    h = rng.normal(0, 0.1, 32)
-    h[0] = 0.5
-    rb_ = np.clip(np.convolve(xb_.astype(np.float64), h)[: Tb * 1024], -32768, 32767).astype(np.int16)
-    xb = jnp.asarray(xb_.reshape(Tb, 1024))
-    rb = jnp.asarray(rb_.reshape(Tb, 1024))
-
-    NSTREAMS = 16  # parallel AEC sessions (vmapped) -- the serving workload
-    xbm = jnp.broadcast_to(xb, (NSTREAMS,) + xb.shape)
-    rbm = jnp.broadcast_to(rb, (NSTREAMS,) + rb.shape)
-
-    @partial(jax.jit, static_argnames=("n",))
-    def bn_chain(xx, rr, n):
-        def one(x1, r1):
-            est, err, _ = bnlms_apply(x1, r1, bnlms_init_state(jnp.float32), dtype=jnp.float32)
-            return est, err
-
-        def body(i, carry):
-            x0, acc = carry
-            est, err = jax.vmap(one)(x0, rr)
-            return x0 + (est & 1).astype(jnp.int16), acc + jnp.sum(err.astype(jnp.int32))
-
-        return jax.lax.fori_loop(0, n, body, (xx, jnp.int32(0)))[1]
-
-    per = amortized(lambda k: jax.device_get(bn_chain(xbm, rbm, k)))
-    per = per / NSTREAMS
-    from jeicyboodsp_tpu.oracle import nlms as onl
-
-    pe, perr = onl.run_bnlms(xb_[: 16 * 1024], rb_[: 16 * 1024])
-    est, err, _ = bnlms_apply(
-        jnp.asarray(xb_[: 16 * 1024].reshape(-1, 1024)),
-        jnp.asarray(rb_[: 16 * 1024].reshape(-1, 1024)),
-        bnlms_init_state(jnp.float32),
-        dtype=jnp.float32,
-    )
-    got = np.asarray(est)[1:].reshape(-1)
-    write_wav("/tmp/b_nl_in.wav", xb_[: fs * 30], fs)
-    write_pcm16("/tmp/b_nl_ref.pcm", rb_[: fs * 30])
-    base = cpp_sps(
-        "bnlms",
-        lambda: (["/tmp/b_nl_in.wav", "/tmp/b_nl_ref.pcm", "/tmp/b_e.pcm", "/tmp/b_r.pcm"], None),
-        fs * 30,
-    )
-    results["bnlms"] = {
-        "tpu_sps": Tb * 1024 / per,
-        "cpp_sps": base,
-        "snr_db": snr_db(pe, got),
-    }
-
-    # ---------------- BNLMS (Pallas df32, bit-exact compat, 1024 streams) ----
-    from jeicyboodsp_tpu.kernels.nlms_pallas import bnlms_pallas
-
-    Bbn, Tbn = 1024, 65536
-    xbn = jnp.asarray(rng.integers(-3000, 3000, (Bbn, Tbn)).astype(np.int16))
-    rbn = jnp.asarray(rng.integers(-3000, 3000, (Bbn, Tbn)).astype(np.int16))
-
-    @partial(jax.jit, static_argnames=("k",))
-    def bnp_chain(xx, rr, k):
-        def body(i, acc):
-            e1, _ = bnlms_pallas(acc, rr)
-            return acc + (e1 & 1)
-
-        return jax.lax.fori_loop(0, k, body, xx)
-
-    per = amortized(lambda k: jax.device_get(bnp_chain(xbn, rbn, k)[0, :4]))
-    gb = np.asarray(
-        bnlms_pallas(jnp.asarray(xb_[None, : 16 * 1024]), jnp.asarray(rb_[None, : 16 * 1024]))[0]
-    )[0][1024:]
-    results["bnlms_pallas"] = {
-        "tpu_sps": Bbn * Tbn / per,
-        "cpp_sps": base,
-        "kernel_exact_vs_oracle": bool((gb.astype(np.int64) == pe.astype(np.int64)).all()),
-    }
-
-    # ---------------- MVDR ----------------
-    from jeicyboodsp_tpu.ops.mvdr import mvdr_blocks
-
-    Tm = 8192
-    sp = mixed_signal(Tm * 512)
-    xl_ = sp
-    xr_ = np.clip(0.8 * sp.astype(np.float64) + rng.normal(0, 15, len(sp)), -32768, 32767).astype(np.int16)
-    ml = jnp.asarray(xl_.reshape(Tm, 512))
-    mr = jnp.asarray(xr_.reshape(Tm, 512))
-
-    @partial(jax.jit, static_argnames=("n",))
-    def mv_chain(l, r, n):
-        def body(i, carry):
-            l0, acc = carry
-            out, _ = mvdr_blocks(l0, r, 0.0, dtype=jnp.float32, fft_engine="mxu3")
-            return l0 + (out & 1).astype(jnp.int16), acc + jnp.sum(out.astype(jnp.int32))
-
-        return jax.lax.fori_loop(0, n, body, (l, jnp.int32(0)))[1]
-
-    # theta=0 collapsed path is VPU-elementwise (~34 G samples/s): the
-    # timing window must out-scale tunnel jitter by a wide margin
-    per = amortized(lambda k: jax.device_get(mv_chain(ml, mr, k)), n1=2, n2=302)
-    from jeicyboodsp_tpu.oracle import mvdr as omv
-
-    want = omv.run(xl_[: 64 * 512], xr_[: 64 * 512])
-    got, msk = mvdr_blocks(
-        jnp.asarray(xl_[: 64 * 512].reshape(-1, 512)),
-        jnp.asarray(xr_[: 64 * 512].reshape(-1, 512)),
-        0.0,
-        dtype=jnp.float32,
-        fft_engine="mxu3",
-    )
-    got = np.asarray(got)[np.asarray(msk)].reshape(-1)
-    write_wav("/tmp/b_mv_l.wav", xl_[: fs * 30], fs)
-    write_wav("/tmp/b_mv_r.wav", xr_[: fs * 30], fs)
-    base = cpp_sps(
-        "mvdr", lambda: (["/tmp/b_mv_l.wav", "/tmp/b_mv_r.wav", "/tmp/b_mv_o.pcm"], None), fs * 30
-    )
-    results["mvdr"] = {
-        "tpu_sps": Tm * 512 / per,
-        "cpp_sps": base,
-        "snr_db": snr_db(want, got),
-    }
-
     # ---------------- MFCC ----------------
-    from jeicyboodsp_tpu.ops.features import dct_lifter_matrix, mel_matrix, mfcc_blocks
+    if _want("mfcc"):
+        from jeicyboodsp_tpu.ops.features import dct_lifter_matrix, mel_matrix, mfcc_blocks
 
-    Tf = 8192
-    xf = mixed_signal(Tf * 1024)
-    fblocks = jnp.asarray(xf.reshape(Tf, 1024))
-    mel_m = jnp.asarray(mel_matrix(np.float32))
-    dct_m = jnp.asarray(dct_lifter_matrix(np.float32))
+        Tf = 8192
+        xf = mixed_signal(Tf * 1024)
+        fblocks = jnp.asarray(xf.reshape(Tf, 1024))
+        mel_m = jnp.asarray(mel_matrix(np.float32))
+        dct_m = jnp.asarray(dct_lifter_matrix(np.float32))
 
-    @partial(jax.jit, static_argnames=("n",))
-    def mf_chain(bk, n):
-        def body(i, carry):
-            cur, acc = carry
-            feats = mfcc_blocks(cur, mel_m, dct_m, dtype=jnp.float32, fft_engine="mxu3")
-            return cur + (feats[0, 0] > acc).astype(jnp.int16), acc + jnp.sum(feats)
-
-        return jax.lax.fori_loop(0, n, body, (bk, jnp.float32(0)))[1]
-
-    per = amortized(lambda k: jax.device_get(mf_chain(fblocks, k)), n1=2, n2=22)
-    from jeicyboodsp_tpu.ops.features import mfcc_run
-    from jeicyboodsp_tpu.oracle import mfcc as omf
-
-    probe = xf[: 32 * 1024]
-    want = omf.run(probe)
-    got = np.asarray(
-        mfcc_blocks(
-            jnp.asarray(probe.reshape(-1, 1024)), mel_m, dct_m,
-            dtype=jnp.float32, fft_engine="mxu3",
-        )
-    )[1 : 1 + len(want)].reshape(want.shape)
-    open("/tmp/b_mfcc_list.txt", "w").write("/tmp/b_mfcc_in.wav /tmp/b_mfcc_out.mfc\n")
-    write_wav("/tmp/b_mfcc_in.wav", xf[: fs * 60], fs)
-    base = cpp_sps("mfcc", lambda: (["/tmp/b_mfcc_list.txt"], None), fs * 60)
-    results["mfcc"] = {
-        "tpu_sps": Tf * 1024 / per,
-        "cpp_sps": base,
-        "snr_db": snr_db(want, np.asarray(got)),
-    }
-
-    # ---------------- FFT roundtrip ----------------
-    from jeicyboodsp_tpu.ops.fft import roundtrip_blocks
-
-    Tr = 16384
-    xr2 = mixed_signal(Tr * 512)
-    rblocks = jnp.asarray(xr2.reshape(Tr, 512))
-
-    @partial(jax.jit, static_argnames=("n",))
-    def rt_chain(bk, n):
-        def body(i, carry):
-            cur, acc = carry
-            out = roundtrip_blocks(cur, dtype=jnp.float32, engine="xla")
-            return cur + (out & 1).astype(jnp.int16), acc + jnp.sum(out.astype(jnp.int32))
-
-        return jax.lax.fori_loop(0, n, body, (bk, jnp.int32(0)))[1]
-
-    per = amortized(lambda k: jax.device_get(rt_chain(rblocks, k)))
-    write_wav("/tmp/b_fft.wav", xr2[: fs * 60], fs)
-    base = cpp_sps("fft", lambda: (["/tmp/b_fft.wav", "/tmp/b_fft_out.pcm"], None), fs * 60)
-    from jeicyboodsp_tpu.oracle import fftprog
-
-    want = fftprog.run(xr2[: 16 * 512])
-    got = np.asarray(roundtrip_blocks(jnp.asarray(xr2[: 16 * 512].reshape(-1, 512)), dtype=jnp.float32, engine="xla")).reshape(-1)
-    results["fft_roundtrip"] = {
-        "tpu_sps": Tr * 512 / per,
-        "cpp_sps": base,
-        "snr_db": snr_db(want, got),
-    }
-
-    # ---------------- pitch (method 1) ----------------
-    from jeicyboodsp_tpu.ops.features import pitch_frames
-
-    Tp = 16384
-    xp = mixed_signal(Tp * 512)
-    pb = jnp.asarray(xp.reshape(Tp, 512))
-    frames = jnp.concatenate(
-        [jnp.concatenate([jnp.zeros((1, 512), jnp.int16), pb[:-1]]), pb], axis=1
-    )
-
-    @partial(jax.jit, static_argnames=("n",))
-    def p_chain(fr, n):
-        def body(i, carry):
-            cur, acc = carry
-            args, vals, f0 = pitch_frames(cur, method=1, dtype=jnp.float32, fft_engine="mxu3")
-            return cur + (args[0] % 2).astype(jnp.int16), acc + jnp.sum(args)
-
-        return jax.lax.fori_loop(0, n, body, (fr, jnp.int32(0)))[1]
-
-    per = amortized(lambda k: jax.device_get(p_chain(frames, k)), n1=5, n2=105)
-    write_wav("/tmp/b_p.wav", xp[: fs * 60], fs)
-    base = cpp_sps("pitch1", lambda: (["/tmp/b_p.wav"], None), fs * 60)
-    results["pitch1"] = {"tpu_sps": Tp * 512 / per, "cpp_sps": base}
-
-    # ---------------- per-sample NLMS (Pallas, 1024 streams) ----------------
-    from jeicyboodsp_tpu.kernels.nlms_pallas import nlms_pallas
-    from jeicyboodsp_tpu.oracle import nlms as onl
-
-    Bn, Tn = 1024, 65536
-    xn = jnp.asarray(rng.integers(-3000, 3000, (Bn, Tn)).astype(np.int16))
-    rn = jnp.asarray(rng.integers(-3000, 3000, (Bn, Tn)).astype(np.int16))
-
-    @partial(jax.jit, static_argnames=("k",))
-    def nl_chain(xx, rr, k):
-        def body(i, acc):
-            e1, _ = nlms_pallas(acc, rr)
-            return acc + (e1 & 1)
-
-        return jax.lax.fori_loop(0, k, body, xx)
-
-    per = amortized(lambda k: jax.device_get(nl_chain(xn, rn, k)[0, :4]))
-    # exactness probe vs the f64 oracle (df32 coefficient state)
-    npr = 8192
-    xo = np.asarray(xn[0, :npr])
-    h = rng.normal(0, 0.1, 32)
-    h[0] = 0.5
-    ro = np.clip(np.convolve(xo.astype(np.float64), h)[:npr], -32768, 32767).astype(np.int16)
-    st = onl.NLMSState()
-    oe = np.concatenate(
-        [onl.nlms_block(st, xo[i : i + 1024], ro[i : i + 1024])[0] for i in range(0, npr, 1024)]
-    )
-    ge = np.asarray(nlms_pallas(jnp.asarray(xo[None]), jnp.asarray(ro[None]))[0])[0]
-    # baseline: input header skipped, reference not (NormalLMS.cpp:65-66)
-    reps = fs * 10 // npr + 1
-    write_wav("/tmp/b_nlms_in.wav", np.tile(xo, reps)[: fs * 10], fs)
-    write_pcm16("/tmp/b_nlms_ref.pcm", np.tile(ro, reps)[: fs * 10])
-    base = cpp_sps(
-        "nlms",
-        lambda: (["/tmp/b_nlms_in.wav", "/tmp/b_nlms_ref.pcm", "/tmp/b_nl_e.pcm", "/tmp/b_nl_r.pcm"], None),
-        fs * 10,
-    )
-    results["nlms_pallas"] = {
-        "tpu_sps": Bn * Tn / per,
-        "cpp_sps": base,
-        "kernel_exact_vs_oracle": bool((ge.astype(np.int64) == oe.astype(np.int64)).all()),
-    }
-
-    # ---------------- LPC ----------------
-    from jeicyboodsp_tpu.ops.features import lpc_frames
-
-    Tl = 8192
-    xl2 = mixed_signal(Tl * 256)
-    lb = xl2.reshape(Tl, 256)
-    lframes = jnp.asarray(
-        np.concatenate([np.concatenate([np.zeros((1, 256), np.int16), lb[:-1]]), lb], axis=1)
-    )
-
-    @partial(jax.jit, static_argnames=("n",))
-    def lpc_chain(fr, n):
-        def body(i, carry):
-            cur, acc = carry
-            co = lpc_frames(cur, dtype=jnp.float32, solver="levinson")
-            return cur + (co[:, :1] > acc).astype(jnp.int16), acc + jnp.sum(co)
-
-        return jax.lax.fori_loop(0, n, body, (fr, jnp.float32(0)))[1]
-
-    per = amortized(lambda k: jax.device_get(lpc_chain(lframes, k)), n1=2, n2=42)
-    write_wav("/tmp/b_lpc.wav", xl2[: fs * 60], fs)
-    base = cpp_sps("lpc", lambda: (["/tmp/b_lpc.wav", "/tmp/b_lpc.out"], None), fs * 60)
-    results["lpc"] = {"tpu_sps": Tl * 256 / per, "cpp_sps": base}
-
-    # ---------------- pitch methods 2 and 3 (AMDF / direct autocorr) ----------------
-    for method, name in ((2, "pitch2"), (3, "pitch3")):
-
-        @partial(jax.jit, static_argnames=("n", "m"))
-        def p_chain23(fr, n, m):
+        @partial(jax.jit, static_argnames=("n",))
+        def mf_chain(bk, n):
             def body(i, carry):
                 cur, acc = carry
-                # m3: Wiener-Khinchin matmul; m2: VMEM-resident Pallas AMDF
-                args, vals, f0 = pitch_frames(cur, method=m, dtype=jnp.float32, fft_engine="mxu")
-                return cur + (args[:, None] % 2).astype(jnp.int16), acc + jnp.sum(args)
+                feats = mfcc_blocks(cur, mel_m, dct_m, dtype=jnp.float32, fft_engine="mxu3")
+                return cur + (feats[0, 0] > acc).astype(jnp.int16), acc + jnp.sum(feats)
 
-            return jax.lax.fori_loop(0, n, body, (fr, jnp.int64(0) if False else jnp.int32(0)))[1]
+            return jax.lax.fori_loop(0, n, body, (bk, jnp.float32(0)))[1]
 
-        per = amortized(
-            lambda k: jax.device_get(p_chain23(frames[:2048], k, method)),
-            n1=5, n2=105 if method == 3 else 25,
+        per = amortized(lambda k: jax.device_get(mf_chain(fblocks, k)), n1=2, n2=22)
+        from jeicyboodsp_tpu.oracle import mfcc as omf
+
+        probe = xf[: 32 * 1024]
+        want = omf.run(probe)
+        got = np.asarray(
+            mfcc_blocks(
+                jnp.asarray(probe.reshape(-1, 1024)), mel_m, dct_m,
+                dtype=jnp.float32, fft_engine="mxu3",
+            )
+        )[1 : 1 + len(want)].reshape(want.shape)
+        open("/tmp/b_mfcc_list.txt", "w").write("/tmp/b_mfcc_in.wav /tmp/b_mfcc_out.mfc\n")
+        write_wav("/tmp/b_mfcc_in.wav", xf[: fs * 60], fs)
+        base = cpp_sps("mfcc", lambda: (["/tmp/b_mfcc_list.txt"], None), fs * 60)
+        results["mfcc"] = {
+            "tpu_sps": Tf * 1024 / per,
+            "cpp_sps": base,
+            "snr_db": snr_db(want, np.asarray(got)),
+        }
+
+    # ---------------- FFT roundtrip ----------------
+    if _want("fft", "fft_roundtrip"):
+        from jeicyboodsp_tpu.ops.fft import roundtrip_blocks
+
+        Tr = 16384
+        xr2 = mixed_signal(Tr * 512)
+        rblocks = jnp.asarray(xr2.reshape(Tr, 512))
+
+        @partial(jax.jit, static_argnames=("n",))
+        def rt_chain(bk, n):
+            def body(i, carry):
+                cur, acc = carry
+                out = roundtrip_blocks(cur, dtype=jnp.float32, engine="xla")
+                return cur + (out & 1).astype(jnp.int16), acc + jnp.sum(out.astype(jnp.int32))
+
+            return jax.lax.fori_loop(0, n, body, (bk, jnp.int32(0)))[1]
+
+        per = amortized(lambda k: jax.device_get(rt_chain(rblocks, k)))
+        write_wav("/tmp/b_fft.wav", xr2[: fs * 60], fs)
+        base = cpp_sps("fft", lambda: (["/tmp/b_fft.wav", "/tmp/b_fft_out.pcm"], None), fs * 60)
+        from jeicyboodsp_tpu.oracle import fftprog
+
+        want = fftprog.run(xr2[: 16 * 512])
+        got = np.asarray(roundtrip_blocks(jnp.asarray(xr2[: 16 * 512].reshape(-1, 512)), dtype=jnp.float32, engine="xla")).reshape(-1)
+        results["fft_roundtrip"] = {
+            "tpu_sps": Tr * 512 / per,
+            "cpp_sps": base,
+            "snr_db": snr_db(want, got),
+        }
+
+    # ---------------- pitch (methods 1-3 share the frame setup) ----------------
+    if _want("pitch", "pitch1", "pitch2", "pitch3"):
+        from jeicyboodsp_tpu.ops.features import pitch_frames
+
+        Tp = 16384
+        xp = mixed_signal(Tp * 512)
+        pb = jnp.asarray(xp.reshape(Tp, 512))
+        frames = jnp.concatenate(
+            [jnp.concatenate([jnp.zeros((1, 512), jnp.int16), pb[:-1]]), pb], axis=1
         )
-        base = cpp_sps(name, lambda: (["/tmp/b_p.wav"], None), fs * 60)
-        results[name] = {"tpu_sps": 2048 * 512 / per, "cpp_sps": base}
+        write_wav("/tmp/b_p.wav", xp[: fs * 60], fs)
+
+        if _want("pitch", "pitch1"):
+            @partial(jax.jit, static_argnames=("n",))
+            def p_chain(fr, n):
+                def body(i, carry):
+                    cur, acc = carry
+                    args, vals, f0 = pitch_frames(cur, method=1, dtype=jnp.float32, fft_engine="mxu3")
+                    return cur + (args[0] % 2).astype(jnp.int16), acc + jnp.sum(args)
+
+                return jax.lax.fori_loop(0, n, body, (fr, jnp.int32(0)))[1]
+
+            per = amortized(lambda k: jax.device_get(p_chain(frames, k)), n1=5, n2=105)
+            base = cpp_sps("pitch1", lambda: (["/tmp/b_p.wav"], None), fs * 60)
+            results["pitch1"] = {"tpu_sps": Tp * 512 / per, "cpp_sps": base}
+
+        # ------------ pitch methods 2 and 3 (AMDF / direct autocorr) ------------
+        for method, name in ((2, "pitch2"), (3, "pitch3")):
+            if not _want("pitch", name):
+                continue
+
+            @partial(jax.jit, static_argnames=("n", "m"))
+            def p_chain23(fr, n, m):
+                def body(i, carry):
+                    cur, acc = carry
+                    # m3: Wiener-Khinchin matmul; m2: VMEM-resident Pallas AMDF
+                    args, vals, f0 = pitch_frames(cur, method=m, dtype=jnp.float32, fft_engine="mxu")
+                    return cur + (args[:, None] % 2).astype(jnp.int16), acc + jnp.sum(args)
+
+                return jax.lax.fori_loop(0, n, body, (fr, jnp.int32(0)))[1]
+
+            per = amortized(
+                lambda k: jax.device_get(p_chain23(frames[:2048], k, method)),
+                n1=5, n2=105 if method == 3 else 25,
+            )
+            base = cpp_sps(name, lambda: (["/tmp/b_p.wav"], None), fs * 60)
+            results[name] = {"tpu_sps": 2048 * 512 / per, "cpp_sps": base}
+
+    # ---------------- per-sample NLMS (Pallas, 1024 streams) ----------------
+    if _want("nlms", "nlms_pallas"):
+        from jeicyboodsp_tpu.kernels.nlms_pallas import nlms_pallas
+        from jeicyboodsp_tpu.oracle import nlms as onl
+
+        Bn, Tn = 1024, 65536
+        xn = jnp.asarray(rng.integers(-3000, 3000, (Bn, Tn)).astype(np.int16))
+        rn = jnp.asarray(rng.integers(-3000, 3000, (Bn, Tn)).astype(np.int16))
+
+        @partial(jax.jit, static_argnames=("k",))
+        def nl_chain(xx, rr, k):
+            def body(i, acc):
+                e1, _ = nlms_pallas(acc, rr)
+                return acc + (e1 & 1)
+
+            return jax.lax.fori_loop(0, k, body, xx)
+
+        per = amortized(lambda k: jax.device_get(nl_chain(xn, rn, k)[0, :4]))
+        # exactness probe vs the f64 oracle (df32 coefficient state)
+        npr = 8192
+        xo = np.asarray(xn[0, :npr])
+        h = rng.normal(0, 0.1, 32)
+        h[0] = 0.5
+        ro = np.clip(np.convolve(xo.astype(np.float64), h)[:npr], -32768, 32767).astype(np.int16)
+        st = onl.NLMSState()
+        oe = np.concatenate(
+            [onl.nlms_block(st, xo[i : i + 1024], ro[i : i + 1024])[0] for i in range(0, npr, 1024)]
+        )
+        ge = np.asarray(nlms_pallas(jnp.asarray(xo[None]), jnp.asarray(ro[None]))[0])[0]
+        # baseline: input header skipped, reference not (NormalLMS.cpp:65-66)
+        reps = fs * 10 // npr + 1
+        write_wav("/tmp/b_nlms_in.wav", np.tile(xo, reps)[: fs * 10], fs)
+        write_pcm16("/tmp/b_nlms_ref.pcm", np.tile(ro, reps)[: fs * 10])
+        base = cpp_sps(
+            "nlms",
+            lambda: (["/tmp/b_nlms_in.wav", "/tmp/b_nlms_ref.pcm", "/tmp/b_nl_e.pcm", "/tmp/b_nl_r.pcm"], None),
+            fs * 10,
+        )
+        results["nlms_pallas"] = {
+            "tpu_sps": Bn * Tn / per,
+            "cpp_sps": base,
+            "kernel_exact_vs_oracle": bool((ge.astype(np.int64) == oe.astype(np.int64)).all()),
+        }
+
+    # ---------------- LPC ----------------
+    if _want("lpc"):
+        from jeicyboodsp_tpu.ops.features import lpc_frames
+
+        Tl = 8192
+        xl2 = mixed_signal(Tl * 256)
+        lb = xl2.reshape(Tl, 256)
+        lframes = jnp.asarray(
+            np.concatenate([np.concatenate([np.zeros((1, 256), np.int16), lb[:-1]]), lb], axis=1)
+        )
+
+        @partial(jax.jit, static_argnames=("n",))
+        def lpc_chain(fr, n):
+            def body(i, carry):
+                cur, acc = carry
+                co = lpc_frames(cur, dtype=jnp.float32, solver="levinson")
+                return cur + (co[:, :1] > acc).astype(jnp.int16), acc + jnp.sum(co)
+
+            return jax.lax.fori_loop(0, n, body, (fr, jnp.float32(0)))[1]
+
+        per = amortized(lambda k: jax.device_get(lpc_chain(lframes, k)), n1=2, n2=42)
+        write_wav("/tmp/b_lpc.wav", xl2[: fs * 60], fs)
+        base = cpp_sps("lpc", lambda: (["/tmp/b_lpc.wav", "/tmp/b_lpc.out"], None), fs * 60)
+        results["lpc"] = {"tpu_sps": Tl * 256 / per, "cpp_sps": base}
 
     # ---------------- Viterbi decode throughput ----------------
-    from jeicyboodsp_tpu.models.hmm import viterbi
+    if _want("viterbi", "viterbi_decode", "viterbi_decode_batched"):
+        from jeicyboodsp_tpu.models.hmm import viterbi
 
-    F = 4096  # frames
-    feats = jnp.asarray(rng.normal(0, 1.0, (F, 12)).astype(np.float32))
-    alpha6 = jnp.full((6, 4), 0.25, jnp.float32)
-    mean6 = jnp.asarray(rng.normal(0, 1, (6, 4, 12)).astype(np.float32))
-    cov6 = jnp.broadcast_to(jnp.eye(12, dtype=jnp.float32), (6, 4, 12, 12)) * 2.0
-    eig6 = jnp.broadcast_to(jnp.eye(12, dtype=jnp.float32)[:, :4], (6, 4, 12, 4))
-    trans = jnp.full((6, 6), 1.0 / 6, jnp.float32)
+        F = 4096  # frames
+        feats = jnp.asarray(rng.normal(0, 1.0, (F, 12)).astype(np.float32))
+        alpha6 = jnp.full((6, 4), 0.25, jnp.float32)
+        mean6 = jnp.asarray(rng.normal(0, 1, (6, 4, 12)).astype(np.float32))
+        cov6 = jnp.broadcast_to(jnp.eye(12, dtype=jnp.float32), (6, 4, 12, 12)) * 2.0
+        eig6 = jnp.broadcast_to(jnp.eye(12, dtype=jnp.float32)[:, :4], (6, 4, 12, 4))
+        trans = jnp.full((6, 6), 1.0 / 6, jnp.float32)
 
-    @partial(jax.jit, static_argnames=("n",))
-    def vit_chain(f0, n):
-        def body(i, carry):
-            cur, acc = carry
-            path, score = viterbi(cur, alpha6, mean6, cov6, eig6, trans, compat=False)
-            return cur + (path[:, None] % 2).astype(jnp.float32) * 1e-6, acc + score
+        if _want("viterbi", "viterbi_decode"):
+            @partial(jax.jit, static_argnames=("n",))
+            def vit_chain(f0, n):
+                def body(i, carry):
+                    cur, acc = carry
+                    path, score = viterbi(cur, alpha6, mean6, cov6, eig6, trans, compat=False)
+                    return cur + (path[:, None] % 2).astype(jnp.float32) * 1e-6, acc + score
 
-        return jax.lax.fori_loop(0, n, body, (f0, jnp.float32(0)))[1]
+                return jax.lax.fori_loop(0, n, body, (f0, jnp.float32(0)))[1]
 
-    per = amortized(lambda k: jax.device_get(vit_chain(feats, k)), n1=1, n2=5)
-    results["viterbi_decode"] = {"frames_per_s": F / per}
+            per = amortized(lambda k: jax.device_get(vit_chain(feats, k)), n1=1, n2=5)
+            results["viterbi_decode"] = {"frames_per_s": F / per}
 
-    # ---------------- batched (corpus) Viterbi decode ----------------
-    from jeicyboodsp_tpu.models.hmm import viterbi_batched
+        # ------------ batched (corpus) Viterbi decode ------------
+        if _want("viterbi", "viterbi_decode_batched"):
+            from jeicyboodsp_tpu.models.hmm import viterbi_batched
 
-    U, Tv = 512, 512  # utterances x frames: the corpus-decode axis
-    featsB = jnp.asarray(rng.normal(0, 1.0, (U, Tv, 12)).astype(np.float32))
-    lensB = jnp.full((U,), Tv, jnp.int32)
+            U, Tv = 512, 512  # utterances x frames: the corpus-decode axis
+            featsB = jnp.asarray(rng.normal(0, 1.0, (U, Tv, 12)).astype(np.float32))
+            lensB = jnp.full((U,), Tv, jnp.int32)
 
-    @partial(jax.jit, static_argnames=("n",))
-    def vitb_chain(f0, n):
-        def body(i, carry):
-            cur, acc = carry
-            paths, scores = viterbi_batched(
-                cur, lensB, alpha6, mean6, cov6, eig6, trans, compat=False
-            )
-            return cur + (paths[..., None] % 2).astype(jnp.float32) * 1e-6, acc + jnp.sum(scores)
+            @partial(jax.jit, static_argnames=("n",))
+            def vitb_chain(f0, n):
+                def body(i, carry):
+                    cur, acc = carry
+                    paths, scores = viterbi_batched(
+                        cur, lensB, alpha6, mean6, cov6, eig6, trans, compat=False
+                    )
+                    return cur + (paths[..., None] % 2).astype(jnp.float32) * 1e-6, acc + jnp.sum(scores)
 
-        return jax.lax.fori_loop(0, n, body, (f0, jnp.float32(0)))[1]
+                return jax.lax.fori_loop(0, n, body, (f0, jnp.float32(0)))[1]
 
-    per = amortized(lambda k: jax.device_get(vitb_chain(featsB, k)), n1=1, n2=5)
-    results["viterbi_decode_batched"] = {"frames_per_s": U * Tv / per, "utterances": U}
+            per = amortized(lambda k: jax.device_get(vitb_chain(featsB, k)), n1=1, n2=5)
+            results["viterbi_decode_batched"] = {"frames_per_s": U * Tv / per, "utterances": U}
 
     # ---------------- end-to-end speech pipeline (no file boundaries) ----------------
     # reference equivalent: MFCC + GMM-train + GMM-test chained via binary
     # feature files across three processes; here one jitted graph each.
-    from jeicyboodsp_tpu.pipelines.speech import speech_classify, speech_train
+    if _want("speech", "speech_pipeline"):
+        from jeicyboodsp_tpu.pipelines.speech import speech_classify, speech_train
 
-    C, Ts = 25, 64  # 25 classes x 64 blocks (128 frames) per class
-    audio = jnp.asarray(
-        rng.integers(-8000, 8000, (C, Ts, 1024)).astype(np.int16)
-    )
-    # block_until_ready is unreliable through the axon tunnel: sync by
-    # device_get of a scalar (CLAUDE.md).  Includes ~28 ms dispatch overhead.
-    def train_sync():
-        a, m, c, e = speech_train(audio, fft_engine="mxu3")
-        jax.device_get(jnp.sum(m))
-        return a, m, c, e
+        C, Ts = 25, 64  # 25 classes x 64 blocks (128 frames) per class
+        audio = jnp.asarray(
+            rng.integers(-8000, 8000, (C, Ts, 1024)).astype(np.int16)
+        )
+        # block_until_ready is unreliable through the axon tunnel: sync by
+        # device_get of a scalar (CLAUDE.md).  Includes ~28 ms dispatch overhead.
+        def train_sync():
+            a, m, c, e = speech_train(audio, fft_engine="mxu3")
+            jax.device_get(jnp.sum(m))
+            return a, m, c, e
 
-    t0 = time.perf_counter()
-    train_sync()
-    train_cold = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    alphas, means, covs, eig = train_sync()
-    train_warm = time.perf_counter() - t0
-    utt = audio[0]
-    eig4 = eig[:, :, :, :4]
+        t0 = time.perf_counter()
+        train_sync()
+        train_cold = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        alphas, means, covs, eig = train_sync()
+        train_warm = time.perf_counter() - t0
+        utt = audio[0]
+        eig4 = eig[:, :, :, :4]
 
-    def cls_sync():
-        sc = speech_classify(utt, alphas, means, covs, eig4, fft_engine="mxu3")
-        jax.device_get(jnp.sum(sc))
-        return sc
+        def cls_sync():
+            sc = speech_classify(utt, alphas, means, covs, eig4, fft_engine="mxu3")
+            jax.device_get(jnp.sum(sc))
+            return sc
 
-    scores = cls_sync()
-    t0 = time.perf_counter()
-    for _ in range(5):
         scores = cls_sync()
-    cls_t = (time.perf_counter() - t0) / 5
-    results["speech_pipeline"] = {
-        "train_s_25cls_x_128frames": train_warm,
-        "train_compile_s": train_cold - train_warm,
-        "classify_s_per_utterance": cls_t,
-        "classify_argmax": int(np.argmax(np.asarray(scores))),
-    }
+        t0 = time.perf_counter()
+        for _ in range(5):
+            scores = cls_sync()
+        cls_t = (time.perf_counter() - t0) / 5
+        results["speech_pipeline"] = {
+            "train_s_25cls_x_128frames": train_warm,
+            "train_compile_s": train_cold - train_warm,
+            "classify_s_per_utterance": cls_t,
+            "classify_argmax": int(np.argmax(np.asarray(scores))),
+        }
 
     # ---------------- report ----------------
     for k, v in results.items():
         if v.get("cpp_sps"):
             v["speedup_vs_cpp"] = v["tpu_sps"] / v["cpp_sps"]
     out_path = os.path.join(ROOT, "bench", "results.json")
+    merged = {}
+    if groups is not None and os.path.exists(out_path):
+        with open(out_path) as f:  # partial run: merge-update existing rows
+            merged = json.load(f)
+    merged.update(results)
     with open(out_path, "w") as f:
-        json.dump(results, f, indent=2)
+        json.dump(merged, f, indent=2)
     print(json.dumps(results, indent=2))
 
 

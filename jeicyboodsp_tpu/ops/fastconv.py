@@ -116,6 +116,55 @@ def fastconv_blocks_sparse(blocks, dtype=jnp.float32):
     return c_short_jnp(y.reshape(T - WARMUP_BLOCKS, BLOCK_SIZE))
 
 
+@functools.lru_cache(maxsize=None)
+def _toeplitz_matrix(dtype_name: str):
+    """(8192, 1024) banded-Toeplitz operator for the dense direct-GEMM engine.
+
+    M[i, t] = h[t + (FILTER_LENGTH-1) - i] where that index is in range, else
+    0: ``segment @ M`` is exactly the overlap-save output samples
+    [7168:8192] of the 8192-pt circular convolution (the linear convolution
+    of the last 1024 samples with the full 7169-tap RIR against the
+    7168-sample history the segment carries).  Built host-side once; 32 MB
+    in f32, reused across every block.
+    """
+    h = np.asarray(load_rir(), np.float64)
+    i = np.arange(FFT_SIZE)[:, None]
+    t = np.arange(BLOCK_SIZE)[None, :]
+    k = t + (FILTER_LENGTH - 1) - i
+    valid = (k >= 0) & (k < FILTER_LENGTH)
+    M = np.where(valid, h[np.clip(k, 0, FILTER_LENGTH - 1)], 0.0)
+    return M.astype(np.dtype(dtype_name))
+
+
+@functools.partial(jax.jit, static_argnames=("dtype", "precision_name"))
+def fastconv_blocks_gemm(blocks, M=None, dtype=jnp.float32, precision_name: str = "high"):
+    """Dense-RIR fast convolution as ONE banded-Toeplitz GEMM per hop.
+
+    The TPU-native general engine for ARBITRARY 7169-tap filters: instead of
+    the reference's FFT -> bin multiply -> IFFT round-trip per 1024-sample
+    hop (Fast_Convolution_Based_3DAudio_Impl.cpp:139-158), each overlapped
+    8192-sample segment is multiplied by a precomputed (8192, 1024) Toeplitz
+    operator -- 8192 MACs/sample, a single MXU-aligned (nseg,8192)@(8192,1024)
+    matmul with no spectral round-trip, no complex arithmetic, and no
+    transform error.  At bf16x3 (precision HIGH) the MXU roof is
+    ~4 G samples/s vs ~1 G for the tiled XLA rfft path.
+
+    Same framing/warm-up semantics as :func:`fastconv_blocks`; exact linear
+    convolution (equals the f64 FFT path to FFT rounding).
+    """
+    prec = {"highest": jax.lax.Precision.HIGHEST, "high": jax.lax.Precision.HIGH}[
+        precision_name
+    ]
+    T = blocks.shape[0]
+    if M is None:  # pass M explicitly in loops: keeps it out of the traced HLO
+        M = jnp.asarray(_toeplitz_matrix(np.dtype(dtype).name))
+    x_eff = blocks.at[:WARMUP_BLOCKS].set(0)
+    flat = x_eff.reshape(-1).astype(dtype)
+    segs = _segments(flat, T)
+    y = jnp.dot(segs, M, precision=prec)
+    return c_short_jnp(y)
+
+
 def filter_spectrum(h=None, dtype=jnp.float64, real_fft=False):
     """Host-side (numpy) filter spectrum as (real, imag) float planes."""
     if h is None:
@@ -142,7 +191,9 @@ def run_stream(x, dtype=jnp.float64, real_fft=False, fft_engine: str = "xla"):
         T += 1
     if T <= WARMUP_BLOCKS:
         return np.zeros(0, np.int16)
-    if fft_engine.startswith("mxu"):
+    if fft_engine == "gemm":
+        out = fastconv_blocks_gemm(jnp.asarray(blocks), dtype=jnp.float32)
+    elif fft_engine.startswith("mxu"):
         Hr, Hi = filter_spectrum(dtype=jnp.float32, real_fft=False)
         out = fastconv_blocks_mxu(
             jnp.asarray(blocks), Hr, Hi, dtype=jnp.float32,

@@ -80,3 +80,23 @@ def test_fastconv_mxu_engine_close(rng, snr):
     assert snr(want.reshape(-1), got.reshape(-1)) >= 60.0
     d = want.astype(np.int64) - got.astype(np.int64)
     assert np.abs(d).max() <= 1, np.abs(d).max()
+
+
+def test_gemm_engine_matches_oracle(rng, snr):
+    """Banded-Toeplitz direct-GEMM dense engine: exact linear convolution.
+
+    f64 GEMM vs the oracle's f64 FFT overlap-save differs only by FFT
+    rounding (+-1 LSB after int16 truncation); f32 GEMM >= 60 dB."""
+    from jeicyboodsp_tpu.ops.fastconv import fastconv_blocks_gemm
+
+    x = _signal(rng, n=16 * 1024)
+    want = ofc.run(x)
+    blocks = jnp.asarray(x.reshape(-1, 1024))
+    got64 = np.asarray(fastconv_blocks_gemm(blocks, dtype=jnp.float64)).reshape(-1)
+    d = np.abs(got64.astype(np.int64) - want.astype(np.int64))
+    assert d.max() <= 1, d.max()
+    got32 = np.asarray(fastconv_blocks_gemm(blocks, dtype=jnp.float32)).reshape(-1)
+    assert snr(want, got32) >= 60.0, snr(want, got32)
+    # run_stream plumbing
+    via_stream = jfc.run_stream(x, fft_engine="gemm")
+    np.testing.assert_array_equal(via_stream, got32)
