@@ -50,8 +50,8 @@ def measure_cpp_baseline(x):
     inp = "/tmp/bench_in.pcm"
     out = "/tmp/bench_out.pcm"
     x.tofile(inp)
-    best = None
-    for _ in range(2):
+    raw = []
+    for _ in range(5):  # median-of-5: single runs scatter ~2x with host load
         t0 = time.perf_counter()
         subprocess.run(
             [binary, inp, out],
@@ -61,9 +61,8 @@ def measure_cpp_baseline(x):
             check=True,
         )
         dt = time.perf_counter() - t0
-        sps = len(x) / dt
-        best = sps if best is None else max(best, sps)
-    return best
+        raw.append(len(x) / dt)
+    return float(np.median(raw))
 
 
 def main():

@@ -26,13 +26,22 @@ sys.path.insert(0, ROOT)
 BIN = os.path.join(ROOT, "bench", "ref_cpp", "bin")
 
 
-def cpp_sps(binary, args_builder, n_samples, per_sample_files=1):
+class _BaselineSps(float):
+    """Median single-core C++ samples/s; carries the raw per-run samples in
+    ``.raw`` so results.json records the variance behind every ratio
+    (VERDICT r2 item 5: best-of-2 let ~2x host-load swings masquerade as
+    perf changes)."""
+
+    raw: list
+
+
+def cpp_sps(binary, args_builder, n_samples, per_sample_files=1, runs=5):
     path = os.path.join(BIN, binary)
     if not os.path.exists(path):
         return None
     args, cleanup_inputs = args_builder()
-    best = None
-    for _ in range(2):  # best-of-2: single runs scattered ~2x with host load
+    raw = []
+    for _ in range(runs):  # median-of-5: robust to host-load outliers
         t0 = time.perf_counter()
         subprocess.run(
             [path] + args,
@@ -40,9 +49,10 @@ def cpp_sps(binary, args_builder, n_samples, per_sample_files=1):
             stdout=subprocess.DEVNULL,
             stderr=subprocess.DEVNULL,
         )
-        sps = n_samples / (time.perf_counter() - t0)
-        best = sps if best is None else max(best, sps)
-    return best
+        raw.append(n_samples / (time.perf_counter() - t0))
+    out = _BaselineSps(float(np.median(raw)))
+    out.raw = [round(s, 1) for s in raw]
+    return out
 
 
 def amortized(fn_calls, n1=1, n2=5):
@@ -68,7 +78,22 @@ def amortized(fn_calls, n1=1, n2=5):
     # never a silently-wrong committed row
 
 
+KNOWN_ROWS = {
+    "enhance", "enhance_wiener", "enhance_specsub", "geq", "fastconv",
+    "bnlms", "bnlms_pallas", "mvdr", "mfcc", "fft", "fft_roundtrip",
+    "pitch", "pitch1", "pitch2", "pitch3", "nlms", "nlms_pallas", "lpc",
+    "viterbi", "viterbi_decode", "viterbi_decode_batched",
+    "speech", "speech_pipeline",
+}
+
+
 def main(groups=None):
+    if groups is not None:
+        unknown = set(groups) - KNOWN_ROWS
+        if unknown:  # a typo must fail loudly, not silently run nothing
+            raise SystemExit(
+                f"unknown row(s) {sorted(unknown)}; valid: {sorted(KNOWN_ROWS)}"
+            )
     import jax
     import jax.numpy as jnp
 
@@ -658,9 +683,40 @@ def main(groups=None):
         }
 
     # ---------------- report ----------------
+    from jeicyboodsp_tpu.utils import profiling as prof
+
+    # Per-row analytic speed-of-light models (VERDICT r2 item 3): every row
+    # carries a defended % of its roof so "is 0.31 G good?" is answerable
+    # from the artifact alone.  Key: (row, tpu field) -> Roofline.
+    ROOFS = {
+        ("enhance_wiener", "tpu_sps"): prof.enhance_mxu3_roofline,
+        ("enhance_specsub", "tpu_sps"): prof.enhance_mxu3_roofline,
+        ("geq", "tpu_sps"): prof.geq_roofline,
+        ("geq", "tpu_sps_quant_compat"): prof.geq_roofline,
+        ("fastconv", "tpu_sps"): prof.fastconv_roofline,
+        ("fastconv", "tpu_sps_sparse"): prof.fastconv_sparse_roofline,
+        ("bnlms", "tpu_sps"): prof.bnlms_roofline,
+        ("bnlms_pallas", "tpu_sps"): prof.bnlms_roofline,
+        ("nlms_pallas", "tpu_sps"): prof.nlms_roofline,
+        ("mvdr", "tpu_sps"): prof.mvdr_collapsed_roofline,
+        ("mfcc", "tpu_sps"): prof.mfcc_roofline,
+        ("pitch1", "tpu_sps"): prof.wk_pitch_roofline,
+        ("pitch2", "tpu_sps"): prof.amdf_roofline,
+        ("pitch3", "tpu_sps"): prof.wk_pitch_roofline,
+        ("lpc", "tpu_sps"): prof.lpc_roofline,
+    }
     for k, v in results.items():
         if v.get("cpp_sps"):
             v["speedup_vs_cpp"] = v["tpu_sps"] / v["cpp_sps"]
+            if isinstance(v["cpp_sps"], _BaselineSps):
+                v["cpp_raw_sps"] = v["cpp_sps"].raw  # per-run samples (median is cpp_sps)
+        for (row, field), model in ROOFS.items():
+            if row == k and v.get(field):
+                r = model()
+                suffix = "" if field == "tpu_sps" else field.replace("tpu_sps", "")
+                v[f"roof_sps{suffix}"] = r.bound()["speed_of_light_samples_per_s"]
+                v[f"roof_bottleneck{suffix}"] = r.bound()["bottleneck"]
+                v[f"pct_of_roof{suffix}"] = round(r.pct_of_roof(v[field]), 1)
     out_path = os.path.join(ROOT, "bench", "results.json")
     merged = {}
     if groups is not None and os.path.exists(out_path):

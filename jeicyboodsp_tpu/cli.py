@@ -43,9 +43,10 @@ def main(argv=None):
     parser.add_argument(
         "--engine",
         default=None,
-        choices=["xla", "mxu", "mxu3"],
+        choices=["xla", "mxu", "mxu3", "gemm"],
         help="FFT engine for --fast pipelines that support it "
-        "(mxu3 = 3-pass MXU matmul DFT, the TPU speed path)",
+        "(mxu3 = 3-pass MXU matmul DFT, the TPU speed path; "
+        "gemm = fastconv-only banded-Toeplitz GEMM, no spectral round-trip)",
     )
     parser.add_argument("--ckpt", default=None, help="stream: checkpoint file (resume if present)")
     parser.add_argument("--ckpt-every", type=int, default=4, help="stream: chunks between checkpoints")

@@ -192,7 +192,12 @@ def run_stream(x, dtype=jnp.float64, real_fft=False, fft_engine: str = "xla"):
     if T <= WARMUP_BLOCKS:
         return np.zeros(0, np.int16)
     if fft_engine == "gemm":
-        out = fastconv_blocks_gemm(jnp.asarray(blocks), dtype=jnp.float32)
+        # dtype flows through: f64 callers get the exact f64 Toeplitz GEMM
+        # (precision only affects the f32 MXU passes)
+        out = fastconv_blocks_gemm(
+            jnp.asarray(blocks), dtype=dtype,
+            precision_name="highest" if dtype == jnp.float64 else "high",
+        )
     elif fft_engine.startswith("mxu"):
         Hr, Hi = filter_spectrum(dtype=jnp.float32, real_fft=False)
         out = fastconv_blocks_mxu(

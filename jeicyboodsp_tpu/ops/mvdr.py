@@ -46,8 +46,9 @@ def vad_energy_flags(blocks, dtype=jnp.float64):
     return energy > THRESHOLD_OF_ENERGY
 
 
-@functools.partial(jax.jit, static_argnames=("dtype", "fft_engine", "d_time"))
-def mvdr_blocks(blocks_l, blocks_r, d_time: float = 0.0, dtype=jnp.float64, fft_engine: str = "xla"):
+@functools.partial(jax.jit, static_argnames=("dtype", "fft_engine", "d_time", "collapse"))
+def mvdr_blocks(blocks_l, blocks_r, d_time: float = 0.0, dtype=jnp.float64,
+                fft_engine: str = "xla", collapse: bool = True):
     """(T, 512) int16 per channel -> ((T, 512) int16, write_mask (T,)).
 
     ``fft_engine="mxu3"`` (f32 only) evaluates the four real-input forward
@@ -64,7 +65,9 @@ def mvdr_blocks(blocks_l, blocks_r, d_time: float = 0.0, dtype=jnp.float64, fft_
     quirk is a no-op for real weights, and the spectral round-trip
     commutes with the scalar mix: y = w0*frame_l + w1*frame_r.  The whole
     beamformer becomes VPU elementwise work -- no transforms at all.
-    ``d_time`` is static so the collapse is a trace-time decision."""
+    ``d_time`` is static so the collapse is a trace-time decision;
+    ``collapse=False`` forces the spectral path even at theta=0 (used by
+    the tests pinning collapsed == spectral on identical inputs)."""
     T = blocks_l.shape[0]
     fdtype = dtype
     ctype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
@@ -92,7 +95,7 @@ def mvdr_blocks(blocks_l, blocks_r, d_time: float = 0.0, dtype=jnp.float64, fft_
     pairs_l = jnp.concatenate([prev_l, blocks_l], axis=1).astype(fdtype)
     pairs_r = jnp.concatenate([prev_r, blocks_r], axis=1).astype(fdtype)
 
-    if use_mxu and float(d_time) == 0.0:
+    if use_mxu and float(d_time) == 0.0 and collapse:
         # theta=0 structural collapse (see docstring): diagonal R from
         # time-domain energies, real scalar weights, scalar channel mix
         acc_f = accumulate.astype(fdtype)
@@ -176,7 +179,8 @@ def steering_delay(angle_rad: float = 0.0) -> float:
     return (DISTANCE_OF_MIC / SPEED_OF_SOUND) * float(np.sin(angle_rad))
 
 
-def run_stream(xl, xr, d_time=0.0, dtype=jnp.float64, fft_engine: str = "xla"):
+def run_stream(xl, xr, d_time=0.0, dtype=jnp.float64, fft_engine: str = "xla",
+               collapse: bool = True):
     xl = np.asarray(xl, np.int16)
     xr = np.asarray(xr, np.int16)
     n = min(len(xl), len(xr))
@@ -194,6 +198,7 @@ def run_stream(xl, xr, d_time=0.0, dtype=jnp.float64, fft_engine: str = "xla"):
 
     bl, br = blockify(xl), blockify(xr)
     out, mask = mvdr_blocks(
-        jnp.asarray(bl), jnp.asarray(br), d_time, dtype=dtype, fft_engine=fft_engine
+        jnp.asarray(bl), jnp.asarray(br), d_time, dtype=dtype,
+        fft_engine=fft_engine, collapse=collapse,
     )
     return np.asarray(out)[np.asarray(mask)].reshape(-1)

@@ -29,9 +29,19 @@ class Roofline:
     flops_per_block: float
     hbm_bytes_per_block: float
     samples_per_block: int
+    # Which compute unit the FLOPs land on.  "mxu" counts HARDWARE bf16
+    # flops (multiply each logical GEMM flop by its pass count: bf16x3
+    # precision=HIGH -> x3, bf16x6 HIGHEST -> x6) against the v5e MXU peak
+    # ~394 TF/s bf16.  "vpu" counts f32 element-ops (moves/adds/mults all
+    # occupy issue slots) against ~3.7 TF/s (8x128 lanes, FMA, ~940 MHz).
+    unit: str = "mxu"
 
-    def bound(self, peak_flops: float = 4.9e13, peak_bw: float = 8.2e11) -> dict:
-        """Samples/s ceilings on one v5e (f32 MXU ~49 TFLOP/s, HBM ~820 GB/s)."""
+    PEAKS = {"mxu": 3.94e14, "vpu": 3.7e12}
+
+    def bound(self, peak_flops: float | None = None, peak_bw: float = 8.2e11) -> dict:
+        """Samples/s ceilings on one v5e (HBM ~820 GB/s)."""
+        if peak_flops is None:
+            peak_flops = self.PEAKS[self.unit]
         t_compute = self.flops_per_block / peak_flops
         t_mem = self.hbm_bytes_per_block / peak_bw
         t = max(t_compute, t_mem)
@@ -42,24 +52,138 @@ class Roofline:
             "bottleneck": "compute" if t_compute > t_mem else "memory",
         }
 
+    def pct_of_roof(self, measured_sps: float) -> float:
+        """Measured samples/s as a % of this model's speed of light."""
+        sol = self.bound()["speed_of_light_samples_per_s"]
+        return 100.0 * measured_sps / sol
+
 
 def enhance_chain_roofline(block=512, fft=1024, dtype_bytes=4) -> Roofline:
-    """Per 512-sample block: one rfft + one irfft (5 N log2 N flops each),
-    VAD + gain elementwise, ~6 HBM passes over the frame."""
+    """XLA-FFT engine, per 512-sample block: one rfft + one irfft
+    (5 N log2 N vector flops each), VAD + gain elementwise, ~6 HBM passes
+    over the frame.  (The XLA FFT is VPU code, not MXU.)"""
     nlog = fft * np.log2(fft)
     flops = 2 * 5 * nlog + 30 * fft
     bytes_ = 6 * fft * dtype_bytes
-    return Roofline(flops, bytes_, block)
+    return Roofline(flops, bytes_, block, unit="vpu")
+
+
+def enhance_mxu3_roofline(block=512, fft=1024, passes=3) -> Roofline:
+    """Fused-Pallas mxu3 engine (kernels/enhance_pallas), per block: one
+    window-folded forward rDFT GEMM (1024x(2x513) MACs) + one
+    symmetry-halved inverse GEMM (~1024x1024 MACs), bf16x3 -> x3 hardware
+    passes.  This reproduces docs/PERFORMANCE.md's ~1.0 ms floor at
+    T=16384 (8.4 M samples): 24 M hw flops/block / 394 TF/s ~= 61 ns."""
+    macs = fft * (2 * (fft // 2 + 1)) + fft * fft
+    flops = passes * 2 * macs
+    bytes_ = 3 * block * 4  # int16 in/out + the latch plane; spectra in VMEM
+    return Roofline(flops, bytes_, block, unit="mxu")
 
 
 def fastconv_roofline(block=1024, fft=8192, dtype_bytes=4) -> Roofline:
+    """Tiled XLA-rfft dense path (VPU vector FFT)."""
     nlog = fft * np.log2(fft)
     flops = 2 * 5 * nlog + 8 * fft
     bytes_ = 6 * fft * dtype_bytes
-    return Roofline(flops, bytes_, block)
+    return Roofline(flops, bytes_, block, unit="vpu")
+
+
+def fastconv_sparse_roofline(block=1024, taps=70) -> Roofline:
+    """Sparse direct path: 70 static scaled slices, 2 VPU ops per
+    (tap, sample) + the scatter adds; int16 read + write."""
+    flops = 3 * taps * block
+    bytes_ = 2 * block * 2 + block * 4
+    return Roofline(flops, bytes_, block, unit="vpu")
 
 
 def geq_roofline(block=512, bands=7, dtype_bytes=4) -> Roofline:
     flops = block * bands * 9
     bytes_ = 2 * block * dtype_bytes  # one read + one write; state in VMEM
-    return Roofline(flops, bytes_, block)
+    return Roofline(flops, bytes_, block, unit="vpu")
+
+
+def nlms_roofline(taps=256) -> Roofline:
+    """Per-sample NLMS Pallas kernel (kernels/nlms_pallas._kernel), per
+    sample per stream, all VPU element-ops over the (taps, 128) VMEM tiles
+    (rolls included -- a VMEM move occupies the same issue slots as an ALU
+    op):  2 window rolls (2t), df32 estimate dot (4t: 2 mul + 2 reduce-add),
+    norm dot (2t), update g*w (t), two-sum coefficient accumulation (~9t).
+    HBM: x, ref reads + est, err writes, all f32 after the host pad."""
+    flops = (2 + 4 + 2 + 1 + 9) * taps
+    bytes_ = 4 * 4
+    return Roofline(flops, bytes_, 1, unit="vpu")
+
+
+def bnlms_roofline(taps=128, block=1024, gate_fft=4096) -> Roofline:
+    """Block NLMS Pallas kernel + the batched XLA double-talk gate, per
+    sample per stream.  In-kernel (VPU, per sample): 2 rolls (2t), df32
+    estimate (4t), norm (2t), per-sample gradient + two-sum accumulate
+    (~10t); block-end coefficient update amortizes to ~12t/block ~= 0.
+    Gate (XLA, per block): 2 rfft + 1 irfft of 4096 (~5 n log n each) +
+    elementwise, ~= 760 flops/sample.  Gate HBM dominates traffic: the
+    padded u/r buffers, two c64 spectra and the f32 correlation plane are
+    all materialized (~(2*1151 + 2*2049*2 + 4096 + 1024) f32 words/block
+    ~= 66 B/sample) on top of the kernel's own 16 B/sample."""
+    kernel_flops = (2 + 4 + 2 + 10) * taps
+    gate_flops = (3 * 5 * gate_fft * np.log2(gate_fft) + 8 * gate_fft) / block
+    bytes_ = 4 * 4 + 66
+    return Roofline(kernel_flops + gate_flops, bytes_, 1, unit="vpu")
+
+
+def amdf_roofline(lags=(101, 512), window=1024) -> Roofline:
+    """Pallas AMDF (pitch method 2), per 512-sample hop: for each of 411
+    lags, |x[i] - x[i+lag]| summed over 1024 window samples -- 3 VPU ops per
+    (lag, sample) pair, VMEM-resident.  HBM: one int16-as-f32 read of the
+    hop + 3 f32 result words."""
+    nlags = lags[1] - lags[0]
+    flops = 3 * nlags * window
+    bytes_ = 512 * 4 + 12
+    return Roofline(flops, bytes_, 512, unit="vpu")
+
+
+def mvdr_collapsed_roofline(block=512) -> Roofline:
+    """theta=0 structural collapse (ops/mvdr.py): per 512-sample block and
+    channel pair -- VAD window+energy (~6 ops/sample), two pair energies
+    (4), scalar cumsum (~0), the w0*l + w1*r mix (3), int16 clamp (2).
+    HBM: 2 int16 reads + 1 int16 write + f32 intermediates the fusion
+    can't elide (~3 planes)."""
+    flops = (6 + 4 + 3 + 2) * block
+    bytes_ = (2 + 1) * block * 2 + 3 * block * 4
+    return Roofline(flops, bytes_, block, unit="vpu")
+
+
+def mvdr_spectral_roofline(block=512, fft=1024, passes=3) -> Roofline:
+    """Spectral MVDR path: 4 forward full-complex-of-real + 1 inverse
+    1024-pt transforms per block as mxu3 GEMMs (2 planes x fft^2 MACs
+    each), bf16x3 hardware passes, plus per-bin weight algebra (VPU,
+    negligible next to the GEMMs)."""
+    gemm_flops = passes * 5 * 2 * 2 * fft * fft
+    bytes_ = 14 * fft * 4
+    return Roofline(gemm_flops, bytes_, block, unit="mxu")
+
+
+def lpc_roofline(block=256, window=512, order=12) -> Roofline:
+    """Per 256-sample hop: windowing (2/sample), 13 autocorrelation lags
+    (window MACs each, VPU via the masked roll formulation), Levinson
+    O(p^2) ~= 300 flops/frame."""
+    flops = 2 * window + 13 * 2 * window + 300
+    bytes_ = window * 4 + order * 8
+    return Roofline(flops, bytes_, block, unit="vpu")
+
+
+def mfcc_roofline(block=1024, fft=1024, passes=3) -> Roofline:
+    """Per 1024-sample block: 2 frames, each one forward rDFT GEMM
+    (2 planes x fft x (fft/2+1) MACs, bf16x3) + mel (38x513) + DCT (12x38)
+    matmuls (small); pre-emphasis/window/log on the VPU (minor)."""
+    macs_frame = 2 * fft * (fft // 2 + 1) + 38 * (fft // 2 + 1) + 12 * 38
+    flops = passes * 2 * 2 * macs_frame
+    bytes_ = block * 2 + 2 * 12 * 8
+    return Roofline(flops, bytes_, block, unit="mxu")
+
+
+def wk_pitch_roofline(block=512, fft=1024, passes=6) -> Roofline:
+    """Wiener-Khinchin pitch (methods 1/3): FFT->|.|^2->IFFT as HIGHEST
+    (bf16x6) DFT GEMMs: 2 transforms x 2 planes x fft^2 MACs."""
+    flops = passes * 2 * 2 * 2 * fft * fft
+    bytes_ = 6 * fft * 4
+    return Roofline(flops, bytes_, block, unit="mxu")

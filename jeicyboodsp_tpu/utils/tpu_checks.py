@@ -94,6 +94,27 @@ def run_checks() -> dict:
     results["enhance_mxu3_snr_db"] = round(float(snr), 1)
     results["enhance_mxu3_snr_ok"] = bool(snr >= 60.0)
 
+    # --- MVDR theta=0 structural collapse: +-1 LSB vs the f64 oracle ---
+    # The 29x-win path (ops/mvdr.py collapse branch) rests on a Parseval
+    # identity; re-prove the compat contract on real silicon every bench.
+    from jeicyboodsp_tpu.oracle import mvdr as omv
+    from jeicyboodsp_tpu.ops import mvdr as jmv
+
+    nm = 512 * 40
+    tm = np.arange(nm) / 16000
+    sp_m = 6000 * np.sin(2 * np.pi * 400 * tm) * (((tm > 0.12) & (tm < 0.2)) | (tm > 0.3))
+    xlm = np.clip(sp_m + rng.normal(0, 15, nm), -32768, 32767).astype(np.int16)
+    xrm = np.clip(0.8 * sp_m + rng.normal(0, 15, nm), -32768, 32767).astype(np.int16)
+    want_m = omv.run(xlm, xrm).astype(np.int64)
+    got_m = jmv.run_stream(xlm, xrm, dtype=jnp.float32, fft_engine="mxu3").astype(np.int64)
+    dm = want_m - got_m
+    err_m = (want_m - got_m).astype(np.float64)
+    snr_m = 10 * np.log10(np.sum(want_m.astype(np.float64) ** 2) / max(np.sum(err_m**2), 1e-30))
+    results["mvdr_collapse_snr_db"] = round(float(snr_m), 1)
+    results["mvdr_collapse_lsb_exact"] = bool(
+        np.abs(dm).max() <= 1 and (dm != 0).mean() < 0.01
+    )
+
     # --- Pallas AMDF: pitch lags exactly equal to the oracle ---
     from jeicyboodsp_tpu.oracle import pitch as opitch
     from jeicyboodsp_tpu.ops.features import pitch_run

@@ -53,6 +53,60 @@ def test_all_speech_input_is_zero_output(rng):
     assert np.all(out == 0)
 
 
+def test_collapse_matches_oracle_lsb(rng, snr):
+    """The theta=0 structural collapse (ops/mvdr.py: diagonal R from
+    time-domain energies, scalar channel mix, no transforms) vs the f64
+    oracle's full spectral round-trip: the collapse argument says the
+    oracle's off-diagonal r01 is pure f64 roundoff, so outputs must agree
+    to +-1 int16 LSB (truncation flips only)."""
+    xl, xr = _stereo(rng, 512 * 40 + 256)
+    want = omv.run(xl, xr)
+    got = jmv.run_stream(xl, xr, dtype=jnp.float32, fft_engine="mxu3")
+    d = want.astype(int) - got.astype(int)
+    assert np.abs(d).max() <= 1 and (d != 0).mean() < 0.01, (
+        np.abs(d).max(), (d != 0).mean(),
+    )
+    assert snr(want, got) >= 90.0, snr(want, got)  # commit 131c93e's claim
+
+
+def test_collapse_equals_spectral_mxu3(rng):
+    """Collapsed path == the spectral mxu3 path it replaced, on the SAME
+    input (collapse=False forces the full DFT round-trip at theta=0).  The
+    only differences allowed are the spectral path's own f32/DFT rounding:
+    +-1 LSB truncation flips."""
+    xl, xr = _stereo(rng, 512 * 24)
+    a = jmv.run_stream(xl, xr, dtype=jnp.float32, fft_engine="mxu3", collapse=True)
+    b = jmv.run_stream(xl, xr, dtype=jnp.float32, fft_engine="mxu3", collapse=False)
+    d = a.astype(int) - b.astype(int)
+    assert np.abs(d).max() <= 1 and (d != 0).mean() < 0.05, (
+        np.abs(d).max(), (d != 0).mean(),
+    )
+
+
+def test_collapse_parseval_r01_is_roundoff(rng):
+    """Numerical check of the Parseval argument: the f64-accumulated
+    broadband off-diagonal r01 = sum_k Im-part pairing of L_k, R_k is pure
+    roundoff relative to the diagonal energies (exactly zero in exact
+    arithmetic for real inputs, since sum_k L_k conj(R_k) = N<l, r> is
+    real)."""
+    xl, xr = _stereo(rng, 512 * 16)
+    T = len(xl) // 512
+    bl = xl[: T * 512].reshape(T, 512).astype(np.float64)
+    br = xr[: T * 512].reshape(T, 512).astype(np.float64)
+    pairs_l = np.concatenate([np.zeros((1, 512)), bl[:-1]], 0)
+    pairs_l = np.concatenate([pairs_l, bl], 1)
+    pairs_r = np.concatenate([np.zeros((1, 512)), br[:-1]], 0)
+    pairs_r = np.concatenate([pairs_r, br], 1)
+    L = np.fft.fft(pairs_l)
+    R = np.fft.fft(pairs_r)
+    r00 = np.sum(L.real**2 + L.imag**2, axis=1) / 1024
+    r11 = np.sum(R.real**2 + R.imag**2, axis=1) / 1024
+    r01 = np.sum(-L.real * R.imag + L.imag * R.real, axis=1) / 1024
+    # per-block: |r01| <= ~sqrt(N)*eps relative to the geometric-mean energy
+    scale = np.sqrt(r00 * r11) + 1e-30
+    assert (np.abs(r01) / scale).max() < 1e-10, (np.abs(r01) / scale).max()
+
+
 def test_nonzero_steering_delay_matches_oracle(rng, snr):
     """The reference hardcodes angle 0 (dTime=0); the framework exposes the
     general steering path -- verify op == oracle for a nonzero delay."""
