@@ -87,7 +87,57 @@ KNOWN_ROWS = {
 }
 
 
+def annotate_rooflines(results: dict) -> dict:
+    """Attach roof_sps / roof_bottleneck / pct_of_roof to every row with an
+    analytic speed-of-light model (VERDICT r2 item 3): "is 0.31 G good?"
+    must be answerable from the artifact alone.  Models live in
+    utils/profiling and describe the IMPLEMENTED algorithm, not the
+    textbook one.  Re-runnable standalone on a committed results.json:
+    ``python bench/all_configs.py --annotate``."""
+    from jeicyboodsp_tpu.utils import profiling as prof
+
+    ROOFS = {
+        ("enhance_wiener", "tpu_sps"): prof.enhance_mxu3_roofline,
+        ("enhance_specsub", "tpu_sps"): prof.enhance_mxu3_roofline,
+        ("geq", "tpu_sps"): prof.geq_roofline,
+        # (geq quant-compat carries no roof: the df32 bit-exact kernel is a
+        # sequential correctness path, not a throughput target)
+        ("fastconv", "tpu_sps"): prof.fastconv_roofline,
+        ("fastconv", "tpu_sps_sparse"): prof.fastconv_sparse_roofline,
+        ("fastconv", "tpu_sps_gemm"): prof.fastconv_gemm_roofline,
+        ("bnlms", "tpu_sps"): prof.bnlms_roofline,
+        ("bnlms_pallas", "tpu_sps"): prof.bnlms_roofline,
+        ("nlms_pallas", "tpu_sps"): prof.nlms_roofline,
+        ("mvdr", "tpu_sps"): prof.mvdr_collapsed_roofline,
+        ("mfcc", "tpu_sps"): prof.mfcc_roofline,
+        ("pitch1", "tpu_sps"): prof.wk_pitch_roofline,
+        ("pitch2", "tpu_sps"): prof.amdf_roofline,
+        ("pitch3", "tpu_sps"): lambda: prof.wk_pitch_roofline(pad=2),
+        ("lpc", "tpu_sps"): prof.lpc_roofline,
+    }
+    for k, v in results.items():
+        for (row, field), model in ROOFS.items():
+            if row == k and v.get(field):
+                r = model()
+                suffix = "" if field == "tpu_sps" else field.replace("tpu_sps", "")
+                v[f"roof_sps{suffix}"] = r.bound()["speed_of_light_samples_per_s"]
+                v[f"roof_bottleneck{suffix}"] = r.bound()["bottleneck"]
+                v[f"pct_of_roof{suffix}"] = round(r.pct_of_roof(v[field]), 1)
+    return results
+
+
 def main(groups=None):
+    if groups is not None and "--annotate" in groups:
+        out_path = os.path.join(ROOT, "bench", "results.json")
+        with open(out_path) as f:
+            results = json.load(f)
+        annotate_rooflines(results)
+        with open(out_path, "w") as f:
+            json.dump(results, f, indent=2)
+        print(json.dumps({k: {f: v[f] for f in v if f.startswith(("pct_", "roof_"))}
+                          for k, v in results.items() if any(f.startswith("pct_") for f in v)},
+                         indent=2))
+        return
     if groups is not None:
         unknown = set(groups) - KNOWN_ROWS
         if unknown:  # a typo must fail loudly, not silently run nothing
@@ -683,40 +733,12 @@ def main(groups=None):
         }
 
     # ---------------- report ----------------
-    from jeicyboodsp_tpu.utils import profiling as prof
-
-    # Per-row analytic speed-of-light models (VERDICT r2 item 3): every row
-    # carries a defended % of its roof so "is 0.31 G good?" is answerable
-    # from the artifact alone.  Key: (row, tpu field) -> Roofline.
-    ROOFS = {
-        ("enhance_wiener", "tpu_sps"): prof.enhance_mxu3_roofline,
-        ("enhance_specsub", "tpu_sps"): prof.enhance_mxu3_roofline,
-        ("geq", "tpu_sps"): prof.geq_roofline,
-        ("geq", "tpu_sps_quant_compat"): prof.geq_roofline,
-        ("fastconv", "tpu_sps"): prof.fastconv_roofline,
-        ("fastconv", "tpu_sps_sparse"): prof.fastconv_sparse_roofline,
-        ("bnlms", "tpu_sps"): prof.bnlms_roofline,
-        ("bnlms_pallas", "tpu_sps"): prof.bnlms_roofline,
-        ("nlms_pallas", "tpu_sps"): prof.nlms_roofline,
-        ("mvdr", "tpu_sps"): prof.mvdr_collapsed_roofline,
-        ("mfcc", "tpu_sps"): prof.mfcc_roofline,
-        ("pitch1", "tpu_sps"): prof.wk_pitch_roofline,
-        ("pitch2", "tpu_sps"): prof.amdf_roofline,
-        ("pitch3", "tpu_sps"): prof.wk_pitch_roofline,
-        ("lpc", "tpu_sps"): prof.lpc_roofline,
-    }
     for k, v in results.items():
         if v.get("cpp_sps"):
             v["speedup_vs_cpp"] = v["tpu_sps"] / v["cpp_sps"]
             if isinstance(v["cpp_sps"], _BaselineSps):
                 v["cpp_raw_sps"] = v["cpp_sps"].raw  # per-run samples (median is cpp_sps)
-        for (row, field), model in ROOFS.items():
-            if row == k and v.get(field):
-                r = model()
-                suffix = "" if field == "tpu_sps" else field.replace("tpu_sps", "")
-                v[f"roof_sps{suffix}"] = r.bound()["speed_of_light_samples_per_s"]
-                v[f"roof_bottleneck{suffix}"] = r.bound()["bottleneck"]
-                v[f"pct_of_roof{suffix}"] = round(r.pct_of_roof(v[field]), 1)
+    annotate_rooflines(results)
     out_path = os.path.join(ROOT, "bench", "results.json")
     merged = {}
     if groups is not None and os.path.exists(out_path):

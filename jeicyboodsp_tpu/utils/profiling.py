@@ -88,6 +88,15 @@ def fastconv_roofline(block=1024, fft=8192, dtype_bytes=4) -> Roofline:
     return Roofline(flops, bytes_, block, unit="vpu")
 
 
+def fastconv_gemm_roofline(block=1024, seg=8192, passes=3, batch=2048) -> Roofline:
+    """Banded-Toeplitz direct GEMM engine: (T,8192)@(8192,1024) bf16x3 per
+    hop.  HBM: the segment row + output + the 33.5 MB operator amortized
+    over the batched rows."""
+    flops = passes * 2 * seg * block
+    bytes_ = (seg + block) * 4 + seg * block * 4 / batch
+    return Roofline(flops, bytes_, block, unit="mxu")
+
+
 def fastconv_sparse_roofline(block=1024, taps=70) -> Roofline:
     """Sparse direct path: 70 static scaled slices, 2 VPU ops per
     (tap, sample) + the scatter adds; int16 read + write."""
@@ -96,8 +105,14 @@ def fastconv_sparse_roofline(block=1024, taps=70) -> Roofline:
     return Roofline(flops, bytes_, block, unit="vpu")
 
 
-def geq_roofline(block=512, bands=7, dtype_bytes=4) -> Roofline:
-    flops = block * bands * 9
+def geq_roofline(block=512, bands=7, dtype_bytes=4, assoc_scan=True) -> Roofline:
+    """Fast-linear GEQ as implemented (ops/geq.geq_apply_fast): per band the
+    FIR part is ~5 ops/sample and the IIR feedback runs as an associative
+    state-space scan -- ~2 combines/sample (up+down sweep), each a 2x2@2x2
+    + 2x2@2 affine compose (~20 ops).  The direct-form sequential kernel
+    (assoc_scan=False) is the 9 ops/sample textbook count."""
+    per_band = (5 + 2 * 20) if assoc_scan else 9
+    flops = block * bands * per_band
     bytes_ = 2 * block * dtype_bytes  # one read + one write; state in VMEM
     return Roofline(flops, bytes_, block, unit="vpu")
 
@@ -163,11 +178,13 @@ def mvdr_spectral_roofline(block=512, fft=1024, passes=3) -> Roofline:
 
 
 def lpc_roofline(block=256, window=512, order=12) -> Roofline:
-    """Per 256-sample hop: windowing (2/sample), 13 autocorrelation lags
-    (window MACs each, VPU via the masked roll formulation), Levinson
-    O(p^2) ~= 300 flops/frame."""
-    flops = 2 * window + 13 * 2 * window + 300
-    bytes_ = window * 4 + order * 8
+    """Per 256-sample hop as implemented (ops/features.lpc_frames): 13
+    autocorrelation lags via jnp.roll + mask + reduce -- each lag
+    materializes a rolled copy in HBM (write + fused masked-product-reduce
+    read = 2 passes of window f32 per lag), so the op is MEMORY-bound on
+    the roll traffic, not compute-bound.  Levinson adds ~300 flops/frame."""
+    flops = 2 * window + 13 * 4 * window + 300
+    bytes_ = 13 * 2 * window * 4 + window * 4 + order * 4
     return Roofline(flops, bytes_, block, unit="vpu")
 
 
@@ -181,9 +198,13 @@ def mfcc_roofline(block=1024, fft=1024, passes=3) -> Roofline:
     return Roofline(flops, bytes_, block, unit="mxu")
 
 
-def wk_pitch_roofline(block=512, fft=1024, passes=6) -> Roofline:
-    """Wiener-Khinchin pitch (methods 1/3): FFT->|.|^2->IFFT as HIGHEST
-    (bf16x6) DFT GEMMs: 2 transforms x 2 planes x fft^2 MACs."""
-    flops = passes * 2 * 2 * 2 * fft * fft
-    bytes_ = 6 * fft * 4
+def wk_pitch_roofline(block=512, proc=1024, pad=1, passes=6) -> Roofline:
+    """Wiener-Khinchin pitch as implemented (ops/features.pitch_frames
+    mxu path): one rdft(n) (2 planes x n x (n/2+1) MACs) + one cosine
+    autocorrelation matmul ((n/2+1) x 512 MACs), HIGHEST = bf16x6 hardware
+    passes.  pad=2 models method 3's zero-padded linear autocorrelation."""
+    n = proc * pad
+    macs = 2 * n * (n // 2 + 1) + (n // 2 + 1) * block
+    flops = passes * 2 * macs
+    bytes_ = (proc + block) * 4
     return Roofline(flops, bytes_, block, unit="mxu")
