@@ -48,6 +48,16 @@ def main(argv=None):
         "(mxu3 = 3-pass MXU matmul DFT, the TPU speed path; "
         "gemm = fastconv-only banded-Toeplitz GEMM, no spectral round-trip)",
     )
+    parser.add_argument(
+        "--verbose",
+        action="store_true",
+        help="reference-format compat diagnostics (L6 print-surface parity): "
+        "NLMS per-block coefficients (NormalLMS.cpp:128), EM likelihood "
+        "before/after (GMMAlgorithm_Train_Auto_ver2.cpp:332), Viterbi "
+        "per-time max accumulated probs (Viterbi_version1.cpp:222), FFT op "
+        "counts (FFTAlgorithm_ver2.cpp:148); supported by "
+        "nlms / gmm-train / viterbi / fft",
+    )
     parser.add_argument("--ckpt", default=None, help="stream: checkpoint file (resume if present)")
     parser.add_argument("--ckpt-every", type=int, default=4, help="stream: chunks between checkpoints")
     parser.add_argument("--chunk-blocks", type=int, default=4, help="stream: blocks per chunk")
@@ -73,6 +83,11 @@ def main(argv=None):
         return 2
 
     kw = {}
+    if ns.verbose:
+        if ns.pipeline not in ("nlms", "gmm-train", "viterbi", "fft"):
+            print(f"--verbose is not supported by pipeline {ns.pipeline!r}")
+            return 2
+        kw["verbose"] = True
     if ns.fast:
         import jax.numpy as jnp
 

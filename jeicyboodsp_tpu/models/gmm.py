@@ -123,6 +123,20 @@ def em_step(frames, mask, alpha, mean, cov):
     return alpha_new, mean_new, cov_new
 
 
+@jax.jit
+def em_loglik_compat(frames, alpha, mean, cov):
+    """The reference's post-M-step likelihood diagnostic, quirks included
+    (``GMMAlgorithm_Train_Auto_ver2.cpp:326-332``): dTemp2 is never reset
+    inside the frame loop, so each frame's log() sees the RUNNING CUMULATIVE
+    sum of per-frame mixture likelihoods -- sum_i log(cumsum_i(sum_k alpha_k
+    p_k(x_i))).  Printed by the CLI's --verbose as ' before X after Y'."""
+    p = sum(
+        alpha[k] * _pca_prob(frames, mean[k], cov[k], PCA_LEN_TRAIN)
+        for k in range(NUM_OF_MIXTURE)
+    )
+    return jnp.sum(jnp.log(jnp.cumsum(p)))
+
+
 @functools.partial(jax.jit, static_argnames=("iterations", "cov_floor"))
 def train_single_file(frames, mask, iterations=EM_ITERATIONS, cov_floor: float = 0.0):
     """Seed + K-means + EM on one feature array (first file of a class).
@@ -232,15 +246,46 @@ def score_frames_all_classes(frames, alphas, means, covs, eigvecs):
     )
 
 
-def train_class(files: list[np.ndarray], dtype=jnp.float64):
+def _em_iterations_verbose(frames, mask, alpha, mean, cov):
+    """EM_ITERATIONS steps with the reference's per-iteration diagnostics
+    (``GMMAlgorithm_Train_Auto_ver2.cpp:268,332,339``): 'count_ %d', then
+    ' before %.5f after %.5f' with the quirky cumulative likelihood
+    (:func:`em_loglik_compat`), then 'training end!'.  dTempBf starts at 0
+    for every EM call (it is a local)."""
+    import sys
+
+    bf = 0.0
+    for it in range(1, EM_ITERATIONS + 1):
+        sys.stdout.write("count_ %d \n" % it)
+        alpha, mean, cov = em_step(frames, mask, alpha, mean, cov)
+        aft = float(em_loglik_compat(frames, alpha, mean, cov))
+        sys.stdout.write(" before %.5f after %.5f \n" % (bf, aft))
+        bf = aft
+    sys.stdout.write("training end! \n")
+    return alpha, mean, cov
+
+
+def train_class(files: list[np.ndarray], dtype=jnp.float64, verbose: bool = False):
     """Host-level per-class training over a list of feature arrays,
-    mirroring the reference's file loop.  Returns PCA-exported params."""
+    mirroring the reference's file loop.  Returns PCA-exported params.
+    ``verbose`` emits the reference's per-EM-iteration likelihood prints."""
     f0 = jnp.asarray(files[0], dtype)
-    alpha, mean, cov = train_single_file(f0, jnp.ones(len(files[0]), bool))
+    mask0 = jnp.ones(len(files[0]), bool)
+    if verbose:
+        init_means = f0[jnp.arange(NUM_OF_MIXTURE) * 4]
+        mean, cov = kmeans(f0, mask0, init_means)
+        alpha = jnp.full((NUM_OF_MIXTURE,), 1.0 / NUM_OF_MIXTURE, dtype)
+        alpha, mean, cov = _em_iterations_verbose(f0, mask0, alpha, mean, cov)
+    else:
+        alpha, mean, cov = train_single_file(f0, mask0)
     # reference runs EM again on file 1? No: the first file's EM already ran
     # inside the iInitCount==1 branch followed by the shared EM call -- i.e.
     # file 1 gets K-means + 3 EM iterations, each later file 3 more.
     for frames in files[1:]:
         fa = jnp.asarray(frames, dtype)
-        alpha, mean, cov = em_file(fa, jnp.ones(len(frames), bool), alpha, mean, cov)
+        m = jnp.ones(len(frames), bool)
+        if verbose:
+            alpha, mean, cov = _em_iterations_verbose(fa, m, alpha, mean, cov)
+        else:
+            alpha, mean, cov = em_file(fa, m, alpha, mean, cov)
     return pca_export(alpha, mean, cov)

@@ -46,13 +46,17 @@ def emissions(frames, alpha, mean, cov, eigvec):
     return jax.vmap(per_state, in_axes=(0, 0, 0, 0), out_axes=1)(alpha, mean, cov, eigvec)
 
 
-@functools.partial(jax.jit, static_argnames=("compat",))
-def viterbi(frames, alpha, mean, cov, eigvec, trans, compat: bool = True):
+@functools.partial(jax.jit, static_argnames=("compat", "full"))
+def viterbi(frames, alpha, mean, cov, eigvec, trans, compat: bool = True,
+            full: bool = False):
     """Decode one utterance. Returns (path (T-1,), score).
 
     compat mode mirrors the reference exactly (see module docstring);
     non-compat is the corrected algorithm (path (T,), true backtrace,
-    final-time score).
+    final-time score).  ``full=True`` (compat only) additionally returns the
+    per-time max accumulated probability vector -- the values the reference
+    prints per backtrace step (``Viterbi_version1.cpp:222``), used by the
+    CLI's --verbose diagnostics.
     """
     T = frames.shape[0]
     emis = emissions(frames, alpha, mean, cov, eigvec)  # (T, 6)
@@ -88,6 +92,8 @@ def viterbi(frames, alpha, mean, cov, eigvec, trans, compat: bool = True):
         args, bests = jax.vmap(c_argmax)(P)
         path = jnp.zeros((T - 1,), jnp.int32).at[1:].set(args[1 : T - 1])
         score = bests[1]  # last loop iteration is t=1 (:245)
+        if full:
+            return path, score, bests
         return path, score
 
     # corrected Viterbi

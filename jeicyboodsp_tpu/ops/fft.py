@@ -99,3 +99,21 @@ def run_stream(x, dtype=jnp.float64):
         pad_src = blocks[-1][rem:] if T else np.zeros(BLOCK_LEN - rem, np.int16)
         blocks = np.concatenate([blocks, np.concatenate([x[T * BLOCK_LEN :], pad_src])[None]])
     return np.asarray(roundtrip_blocks(jnp.asarray(blocks), dtype=dtype)).reshape(-1)
+
+
+def fft_op_counts(n: int = BLOCK_LEN) -> tuple[int, int]:
+    """The reference FFT's printed operation counter, replicated exactly
+    (``FFTAlgorithm_ver2.cpp:94-148``): adds counted once per butterfly
+    pair per stage, multiplies once per twiddle application, no multiply
+    pass on the final stage.  512-pt: (2304, 2048).  Used by the CLI's
+    --verbose diagnostics (printed after every forward AND inverse call)."""
+    add = mul = 0
+    npoint = n // 2
+    while True:
+        n1 = (n // npoint) // 2
+        add += npoint * n1
+        if npoint == 1:
+            break
+        mul += (npoint // 2) * (n // npoint)
+        npoint //= 2
+    return add, mul

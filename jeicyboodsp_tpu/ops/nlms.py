@@ -167,11 +167,14 @@ def _blockify(x, block):
     return blocks
 
 
-def run_nlms_stream(x, ref, dtype=jnp.float64, use_native=True):
+def run_nlms_stream(x, ref, dtype=jnp.float64, use_native=True, verbose=False):
     """Host convenience matching oracle.run_nlms output framing.
 
     f64 compat prefers the native C++ kernel (bit-exact, and far faster than
-    a per-sample scan on host)."""
+    a per-sample scan on host).  ``verbose`` prints the reference's
+    per-block coefficient diagnostic (``NormalLMS.cpp:128``) -- block by
+    block through the native kernel, so the printed trajectory is the
+    bit-exact one."""
     n = min(len(x), len(ref))
     xb = _blockify(x[:n], BLOCK_LEN)
     rb = _blockify(ref[:n], BLOCK_LEN)
@@ -181,6 +184,21 @@ def run_nlms_stream(x, ref, dtype=jnp.float64, use_native=True):
         if native.available():
             coeff = np.zeros(NLMS_TAPS, np.float64)
             keep = np.zeros(NLMS_KEEP, np.int16)
+            if verbose:
+                import sys
+
+                ests, errs = [], []
+                for t in range(xb.shape[0]):
+                    e1, e2 = native.nlms_process(xb[t], rb[t], coeff, keep)
+                    ests.append(e1)
+                    errs.append(e2)
+                    sys.stdout.write(
+                        "rgsdCoefficient[0] %f, rgsdCoefficient[1] %f, "
+                        "rgsdCoefficient[2] %f \n" % (coeff[0], coeff[1], coeff[2])
+                    )
+                est = np.concatenate(ests)
+                err = np.concatenate(errs)
+                return est[BLOCK_LEN:], err[BLOCK_LEN:]
             est, err = native.nlms_process(xb.reshape(-1), rb.reshape(-1), coeff, keep)
             return est[BLOCK_LEN:], err[BLOCK_LEN:]
     est, err, _ = nlms_apply(

@@ -90,11 +90,24 @@ def mvdr(left: str, right: str, out: str, **kw):
     return y
 
 
-def fft_roundtrip(inp: str, out: str, **kw):
+def fft_roundtrip(inp: str, out: str, verbose: bool = False, **kw):
+    import sys
+
     from jeicyboodsp_tpu.ops import fft as F
 
     x = _read(inp, True)
     y = F.run_stream(x, **kw)
+    if verbose:
+        # the reference prints its operation counter after EVERY FFTProcess
+        # call -- forward and inverse, i.e. twice per block -- then the
+        # stream-end diagnostics (FFTAlgorithm_ver2.cpp:64-66,87,148)
+        add, mul = F.fft_op_counts(F.BLOCK_LEN)
+        line = "%d-point FFT Calculation add %d multiply %d \n " % (F.BLOCK_LEN, add, mul)
+        for _ in range(len(y) // F.BLOCK_LEN):
+            sys.stdout.write(line)
+            sys.stdout.write(line)
+        sys.stdout.write("Break! The buffer is insufficient.\n")
+        sys.stdout.write("Processing End\n")
     write_pcm16(out, y)
     return y
 
@@ -196,8 +209,16 @@ def gmm_test(list_file: str, model_path: str, emulate_layout_mismatch: bool = Tr
     return results
 
 
-def viterbi(list_file: str, model_path: str, compat: bool = True, **kw):
-    """Decode utterances with a 6-state HMM model file (Viterbi layout)."""
+def viterbi(list_file: str, model_path: str, compat: bool = True,
+            verbose: bool = False, **kw):
+    """Decode utterances with a 6-state HMM model file (Viterbi layout).
+
+    ``verbose`` (compat mode) reproduces the reference's print surface:
+    one 'max accumulated prob %f' line per backtrace step t=T-1..1 and the
+    '%d ,'-formatted path (Viterbi_version1.cpp:222,227-231) -- the same
+    lines the binary-anchoring tests capture from the compiled reference."""
+    import sys
+
     import jax.numpy as jnp
 
     from jeicyboodsp_tpu.models import hmm as H
@@ -212,11 +233,23 @@ def viterbi(list_file: str, model_path: str, compat: bool = True, **kw):
     for line in open(list_file):
         for p in line.split():
             frames = np.fromfile(p, dtype="<f8").reshape(-1, 12)
-            path, score = H.viterbi(
-                jnp.asarray(frames), alpha, mean, cov, eig, jnp.asarray(trans), compat=compat
-            )
-            print("decoding result !")
-            print(",".join(str(int(s)) for s in np.asarray(path)))
+            if verbose and compat:
+                path, score, bests = H.viterbi(
+                    jnp.asarray(frames), alpha, mean, cov, eig,
+                    jnp.asarray(trans), compat=True, full=True,
+                )
+                b = np.asarray(bests)
+                for t in range(len(frames) - 1, 0, -1):
+                    sys.stdout.write("max accumulated prob %f \n" % b[t])
+                sys.stdout.write("decoding result ! \n")
+                sys.stdout.write("".join("%d ," % int(d) for d in np.asarray(path)))
+                sys.stdout.write("\n")
+            else:
+                path, score = H.viterbi(
+                    jnp.asarray(frames), alpha, mean, cov, eig, jnp.asarray(trans), compat=compat
+                )
+                print("decoding result !")
+                print(",".join(str(int(s)) for s in np.asarray(path)))
             out.append((np.asarray(path), float(score)))
     return out
 
