@@ -105,7 +105,9 @@ def annotate_rooflines(results: dict) -> dict:
         ("fastconv", "tpu_sps"): prof.fastconv_roofline,
         ("fastconv", "tpu_sps_sparse"): prof.fastconv_sparse_roofline,
         ("fastconv", "tpu_sps_gemm"): prof.fastconv_gemm_roofline,
-        ("bnlms", "tpu_sps"): prof.bnlms_roofline,
+        # (the non-Pallas "bnlms" row is the vmapped XLA Toeplitz-matmul
+        # variant -- a different algorithm than the modeled kernel; only
+        # the kernel row carries the roof)
         ("bnlms_pallas", "tpu_sps"): prof.bnlms_roofline,
         ("nlms_pallas", "tpu_sps"): prof.nlms_roofline,
         ("mvdr", "tpu_sps"): prof.mvdr_collapsed_roofline,

@@ -22,6 +22,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -148,7 +149,16 @@ def _bnlms_kernel(x_ref, r_ref, gate_ref, est_ref, err_ref, W, V, C, CL, G, GL):
         G[:, :] = hi
         return 0
 
-    jax.lax.fori_loop(0, BN_BLOCK, step, 0)
+    # 4x manual unroll: the 128-tap body is short enough that per-iteration
+    # loop overhead dominates -- measured 305 -> 412 M samples/s (8x
+    # regresses; Mosaic's fori lowering only takes unroll=1 or full, so the
+    # unroll happens at trace level)
+    def step4(t4, _):
+        for q in range(4):
+            step(t4 * 4 + q, 0)
+        return 0
+
+    jax.lax.fori_loop(0, BN_BLOCK // 4, step4, 0)
 
     gate = gate_ref[0, :]  # 1.0 = update (not double talk)
     upd_hi = G[:, :] * (gate[None, :] / BN_BLOCK)  # /1024 exact (power of 2)
@@ -160,16 +170,46 @@ def _bnlms_kernel(x_ref, r_ref, gate_ref, est_ref, err_ref, W, V, C, CL, G, GL):
     C[:, :] = hi
 
 
+_GATE_M = 2176  # any m >= 1151 + 1023 gives linear correlation; no radix need
+
+
+@functools.lru_cache(maxsize=1)
+def _gate_bases():
+    """Matmul-DFT bases for the double-talk correlation (host constants).
+
+    The gate only needs the SIGN of max_k corr[k]; an XLA FFT round-trip
+    (m=4096 rfft x2 + irfft) measured 457 M samples/s-equivalent on the VPU
+    -- 2/3 of the whole BNLMS pipeline.  As three MXU GEMMs at m=2176 the
+    transform work is ~43 M hw flops per block (~10x cheaper wall-clock):
+    forward (1151, 1089) cos/sin planes over the nonzero input rows only,
+    inverse (1089, 1024) with the irfft weights folded in."""
+    m = _GATE_M
+    nbin = m // 2 + 1
+    i = np.arange(BN_BLOCK + BN_KEEP)[:, None] * np.arange(nbin)[None, :]
+    ang = -2.0 * np.pi * i / m
+    Fc = np.cos(ang).astype(np.float32)
+    Fs = np.sin(ang).astype(np.float32)
+    wk = np.full(nbin, 2.0)
+    wk[0] = wk[-1] = 1.0
+    kl = np.arange(nbin)[:, None] * np.arange(BN_BLOCK)[None, :]
+    ang2 = 2.0 * np.pi * kl / m
+    Ic = (wk[:, None] * np.cos(ang2) / m).astype(np.float32)
+    Is = (wk[:, None] * np.sin(ang2) / m).astype(np.float32)
+    return Fc, Fs, Ic, Is
+
+
 def _bnlms_gates(xp, rp):
     """Double-talk gate per (block, stream), vectorized (BNLMS.cpp:164-186).
 
     corr[k] = sum_i u[i]*r[i+k] / (2*BLOCK-k) over the 1151-sample
     processing buffers (keep(127) + block), out-of-bounds reads defined as
     zero (see oracle module docstring); update fires iff max_k corr[k] > 0.
-    Pure function of the inputs -- computed once, batched over every block of
-    every stream with one rfft, and handed to the kernel as a (Tb, B) flag
-    plane.  f32 FFT: the sign decision matches the f64 oracle except when
-    max|corr| is within FFT rounding of zero (probes are far from it)."""
+    Pure function of the inputs -- computed once, batched over every block
+    of every stream as MXU matmul-DFT GEMMs (precision HIGH), and handed to
+    the kernel as a (Tb, B) flag plane.  bf16x3 transform rounding: the
+    sign decision matches the f64 oracle except when max|corr| is within
+    rounding of zero (probes are far from it), same contract as the
+    previous f32-FFT gate."""
     B, T = xp.shape
     tb = T // BN_BLOCK
     xb = xp.reshape(B, tb, BN_BLOCK)
@@ -179,14 +219,17 @@ def _bnlms_gates(xp, rp):
         halo = jnp.pad(blocks, ((0, 0), (1, 0), (0, 0)))[:, :-1, BN_BLOCK - BN_KEEP :]
         return jnp.concatenate([halo, blocks], axis=-1)  # (B, tb, 1151)
 
-    u = with_keep(xb)
-    r = with_keep(rb)
-    m = 4 * BN_BLOCK
-    U = jnp.fft.rfft(u, m)
-    R = jnp.fft.rfft(r, m)
-    corr = jnp.fft.irfft(jnp.conj(U) * R, m)[..., :BN_BLOCK]
+    u = with_keep(xb).reshape(B * tb, BN_BLOCK + BN_KEEP)
+    r = with_keep(rb).reshape(B * tb, BN_BLOCK + BN_KEEP)
+    Fc, Fs, Ic, Is = _gate_bases()
+    mm = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGH)
+    Ur, Ui = mm(u, Fc), mm(u, Fs)
+    Rr, Ri = mm(r, Fc), mm(r, Fs)
+    Pr = Ur * Rr + Ui * Ri  # conj(U) * R
+    Pi = Ur * Ri - Ui * Rr
+    corr = mm(Pr, Ic) - mm(Pi, Is)  # (B*tb, 1024) linear correlation lags
     corr = corr / (2.0 * BN_BLOCK - jnp.arange(BN_BLOCK, dtype=jnp.float32))
-    return (jnp.max(corr, axis=-1) > 0.0).astype(jnp.float32)  # (B, tb)
+    return (jnp.max(corr, axis=-1) > 0.0).astype(jnp.float32).reshape(B, tb)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

@@ -336,6 +336,47 @@ def _dft_mats_aligned():
     )
 
 
+def _enhance_fused3(blocks, mode, emit_all, interpret=False, F: int = 256):
+    """Fused fast path v3 (the default TPU mxu3 path): u/vv contractions as
+    in _enhance_fused, but the OLA (lane flip + shift + add + c_short)
+    stays in-kernel via an exact 2-pass permutation GEMM (see
+    enhance_back_ola3_pallas) -- equals _enhance_fused to +-1 truncation
+    flips (the kernel sum is the exact one), measured +7% (the XLA OLA
+    assembly was ~5 HBM passes).  The rejected 'fused2'
+    alternative -- folding the flip into a DOUBLED (F, 2048) head+tail
+    contraction -- measured 8% SLOWER and exceeded VMEM at F=512: the flip
+    as an exact 0/1-matrix GEMM costs 2 passes, doubling the contraction
+    costs 6."""
+    from jeicyboodsp_tpu.kernels import enhance_pallas as EP
+
+    T = blocks.shape[0]
+    M = _dft_mats_aligned()
+    J = np.zeros((512, 512), np.float32)
+    J[np.arange(511, 0, -1), np.arange(1, 512)] = 1.0  # J[512-j, j] = 1
+    pad = (-T) % F
+    bp = (
+        jnp.concatenate([blocks, jnp.zeros((pad, BLOCK_LEN), blocks.dtype)], axis=0)
+        if pad else blocks
+    )
+    prev = jnp.concatenate([jnp.zeros((1, BLOCK_LEN), bp.dtype), bp[:-1]], axis=0)
+    re, im, re_n, mag512, mag_n = EP.enhance_fwd_pallas(
+        prev, bp, M["WC"], M["WS"], M["nyq"], F=F, interpret=interpret
+    )
+    speech = vad_flags(bp, jnp.float32)
+    mags = jnp.concatenate([mag512, mag_n], axis=-1)
+    ns = _noise_latch_closed_form(speech, mags)
+    out_f = EP.enhance_back_ola3_pallas(
+        re, im, re_n, ns[:, :512], ns[:, 512:513],
+        M["UC512"], M["VS512"], M["u_nyq"], M["y512col"], J,
+        mode=mode, F=F, interpret=interpret,
+    )
+    out = out_f[:T].astype(jnp.int16)
+    write_mask = jnp.arange(T) >= 2
+    if not emit_all:
+        out = jnp.where(write_mask[:, None], out, 0)
+    return out, write_mask
+
+
 def _enhance_fused(blocks, mode, emit_all, interpret=False, F: int = 512):
     """Pallas-fused f32 fast path: forward rDFT + |X| in one kernel, gain +
     symmetry-halved inverse in another (kernels.enhance_pallas); only the
@@ -390,7 +431,10 @@ def _enhance_fast_mxu(blocks, mode, dtype, precision, emit_all):
         and precision == jax.lax.Precision.HIGH
         and jax.default_backend() != "cpu"
     ):
-        return _enhance_fused(blocks, mode, emit_all)
+        # fused3 keeps the OLA (lane-flip + shift + add + c_short) in-kernel
+        # -- equals _enhance_fused to +-1 truncation flips, measured +7%
+        # (interleaved min-of-2x51 runs: 5.16-5.63 vs 4.87-5.05 G samples/s)
+        return _enhance_fused3(blocks, mode, emit_all, F=512)
     T = blocks.shape[0]
     M = _dft_mats_aligned()
     WC, WS = jnp.asarray(M["WC"], dtype), jnp.asarray(M["WS"], dtype)

@@ -129,20 +129,18 @@ def nlms_roofline(taps=256) -> Roofline:
     return Roofline(flops, bytes_, 1, unit="vpu")
 
 
-def bnlms_roofline(taps=128, block=1024, gate_fft=4096) -> Roofline:
-    """Block NLMS Pallas kernel + the batched XLA double-talk gate, per
-    sample per stream.  In-kernel (VPU, per sample): 2 rolls (2t), df32
-    estimate (4t), norm (2t), per-sample gradient + two-sum accumulate
-    (~10t); block-end coefficient update amortizes to ~12t/block ~= 0.
-    Gate (XLA, per block): 2 rfft + 1 irfft of 4096 (~5 n log n each) +
-    elementwise, ~= 760 flops/sample.  Gate HBM dominates traffic: the
-    padded u/r buffers, two c64 spectra and the f32 correlation plane are
-    all materialized (~(2*1151 + 2*2049*2 + 4096 + 1024) f32 words/block
-    ~= 66 B/sample) on top of the kernel's own 16 B/sample."""
+def bnlms_roofline(taps=128, block=1024) -> Roofline:
+    """Block NLMS Pallas kernel, per sample per stream.  In-kernel (VPU,
+    per sample): 2 rolls (2t), df32 estimate (4t), norm (2t), per-sample
+    gradient + two-sum accumulate (~10t); block-end coefficient update
+    amortizes to ~0.  The double-talk gate rides the MXU as matmul-DFT
+    GEMMs (~43 M hw flops/block ~= 0.1 us, off the VPU critical path; the
+    round-2 XLA-FFT gate burned 2/3 of the pipeline -- see _bnlms_gates).
+    HBM: x/ref reads + est/err writes (f32 after the host pad) + the
+    correlation plane (~10 B/sample)."""
     kernel_flops = (2 + 4 + 2 + 10) * taps
-    gate_flops = (3 * 5 * gate_fft * np.log2(gate_fft) + 8 * gate_fft) / block
-    bytes_ = 4 * 4 + 66
-    return Roofline(kernel_flops + gate_flops, bytes_, 1, unit="vpu")
+    bytes_ = 4 * 4 + 10
+    return Roofline(kernel_flops, bytes_, 1, unit="vpu")
 
 
 def amdf_roofline(lags=(101, 512), window=1024) -> Roofline:

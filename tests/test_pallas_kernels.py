@@ -175,3 +175,17 @@ def test_enhance_fused_kernels_match_xla_path(rng, snr):
         got = a.reshape(-1)
         s = 10 * np.log10((want ** 2).sum() / max(((want - got) ** 2).sum(), 1e-30))
         assert s >= 60.0, (mode, s)
+        # fused3 (in-kernel permutation-GEMM flip + OLA + c_short, the TPU
+        # default): same kernel values; the only differences are +-1
+        # truncation flips where the XLA assembly's add rounds across an
+        # integer boundary (the kernel sum is the exact one)
+        out_3, mask_3 = E._enhance_fused3(blocks, mode, emit_all=False,
+                                          interpret=True, F=8)
+        np.testing.assert_array_equal(np.asarray(mask_f), np.asarray(mask_3))
+        d3 = np.asarray(out_f).astype(int) - np.asarray(out_3).astype(int)
+        assert np.abs(d3).max() <= 1 and (d3 != 0).mean() < 0.005, (
+            mode, np.abs(d3).max(), (d3 != 0).mean(),
+        )
+        c = np.asarray(out_3)[np.asarray(mask_3)].astype(np.float64).reshape(-1)
+        s3 = 10 * np.log10((want ** 2).sum() / max(((want - c) ** 2).sum(), 1e-30))
+        assert s3 >= 60.0, (mode, s3)
