@@ -51,12 +51,25 @@ def nlms_init_state(dtype=jnp.float64):
     }
 
 
-@functools.partial(jax.jit, static_argnames=("dtype",))
-def nlms_apply(x, ref, state, dtype=jnp.float64):
+@functools.partial(jax.jit, static_argnames=("dtype", "compat"))
+def nlms_apply(x, ref, state, dtype=jnp.float64, compat: bool = True):
     """Per-sample NLMS over aligned int16 signals x (far end) / ref (near end).
 
     Returns (est, err, new_state); est/err int16 of the same length.
-    """
+
+    ``compat=True`` reproduces the reference exactly, INCLUDING its
+    mirrored-gradient quirk: the estimate is a causal convolution with c
+    (``NormalLMS.cpp:113`` pairs c reversed against the ascending-age
+    window), but the update (:125) adds the gradient to the MIRROR-image
+    taps.  The Wiener fixed point is unchanged (e orthogonal to the whole
+    window), but the error dynamics are c_err' = (I - mu' P) c_err with P
+    the flip permutation, whose -1 eigenvalue makes every antisymmetric
+    error component GROW -- the reference AEC slowly diverges on white
+    far-end input (verified: error RMS rises monotonically over 2 M
+    samples, identically in the bit-exact oracle/binary).  ``compat=False``
+    is the corrected adaptation (gradient paired with the same reversed
+    window as the estimate): a textbook convergent NLMS, asserted by the
+    ERLE integration test."""
     mu = jnp.asarray(NLMS_MU, dtype)
     eps = jnp.asarray(NLMS_EPS, dtype)
 
@@ -69,7 +82,8 @@ def nlms_apply(x, ref, state, dtype=jnp.float64):
         y = c_short_jnp(y_acc).astype(jnp.int32)
         e = (ri - y).astype(dtype)
         norm = jnp.dot(w, w)
-        c = c + (2.0 * mu) * e / (norm + eps) * w
+        g = (2.0 * mu) * e / (norm + eps)
+        c = c + g * (w if compat else w[::-1])
         new_hist = jnp.concatenate([hist[1:], xi[None]])
         err = c_short_jnp((ri - y).astype(dtype))
         return {"hist": new_hist, "coeff": c}, (y.astype(jnp.int16), err)
@@ -167,17 +181,28 @@ def _blockify(x, block):
     return blocks
 
 
-def run_nlms_stream(x, ref, dtype=jnp.float64, use_native=True, verbose=False):
+def run_nlms_stream(x, ref, dtype=jnp.float64, use_native=True, verbose=False,
+                    compat=True):
     """Host convenience matching oracle.run_nlms output framing.
 
     f64 compat prefers the native C++ kernel (bit-exact, and far faster than
     a per-sample scan on host).  ``verbose`` prints the reference's
     per-block coefficient diagnostic (``NormalLMS.cpp:128``) -- block by
     block through the native kernel, so the printed trajectory is the
-    bit-exact one."""
+    bit-exact one.  ``compat=False`` selects the corrected (convergent)
+    adaptation -- see :func:`nlms_apply`; it runs on the JAX path."""
     n = min(len(x), len(ref))
     xb = _blockify(x[:n], BLOCK_LEN)
     rb = _blockify(ref[:n], BLOCK_LEN)
+    if not compat:
+        est, err, _ = nlms_apply(
+            jnp.asarray(xb.reshape(-1)), jnp.asarray(rb.reshape(-1)),
+            nlms_init_state(dtype), dtype=dtype, compat=False,
+        )
+        return (
+            np.asarray(est).reshape(xb.shape)[1:].reshape(-1),
+            np.asarray(err).reshape(xb.shape)[1:].reshape(-1),
+        )
     if use_native and dtype == jnp.float64:
         from jeicyboodsp_tpu import native
 
