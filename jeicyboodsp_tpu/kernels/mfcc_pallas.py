@@ -1,0 +1,118 @@
+"""Fused Pallas kernel for the MFCC extractor's hot path.
+
+Reference chain per frame (``MFCCFeatureExtraction_auto_version1.cpp:205-227``):
+pre-emphasis -> Hamming -> 1024-pt FFT magnitude -> 38-channel mel -> log ->
+DCT-II + liftering.  The XLA mxu3 path runs these as separate ops with HBM
+round-trips between every stage; here the WHOLE chain is one VMEM-resident
+kernel per frame tile:
+
+- pre-emphasis and the window are LINEAR, so they fold into the forward
+  DFT bases host-side: spectra = f @ (P^T W C) with P the bidiagonal
+  pre-emphasis operator (first output row zero, matching the oracle) and
+  W the Hamming diagonal -- the framing stage disappears entirely;
+- the reference's mel filterbank spans bins 0..511 only (mel_matrix is
+  (512, 38)), so no Nyquist split is needed and every GEMM is 512-aligned;
+- |X|, mel (HIGHEST), log, and DCT+lifter (HIGHEST) all happen in-register;
+  only the (N, 12) features leave the kernel (padded to 128 lanes: the mel
+  pad columns are ONES -> log 0, and the DCT pad rows are zeros, so pads
+  contribute nothing instead of 0 * -inf = NaN).
+
+The rDFT GEMMs are bf16x3 (`_dot3`, Mosaic has no Precision.HIGH); mel/DCT
+run at HIGHEST like the XLA path.  Matches ops.features.mfcc_frames
+(fft_engine="mxu3") to bf16x3 regrouping rounding.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from jeicyboodsp_tpu.kernels.enhance_pallas import _dot3
+
+LANE = 128
+
+
+def _kernel(cp, cc, sp, sc, mel, dct, prev_ref, cur_ref, out_ref):
+    prev = prev_ref[...].astype(jnp.float32)
+    cur = cur_ref[...].astype(jnp.float32)
+    re = _dot3(prev, cp[...]) + _dot3(cur, cc[...])
+    im = _dot3(prev, sp[...]) + _dot3(cur, sc[...])
+    mag = jnp.sqrt(re * re + im * im)
+    doth = lambda a, b: jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    mel_e = doth(mag, mel[...])  # (F, 128): cols >= 38 are the ones-pad
+    out_ref[...] = doth(jnp.log(mel_e), dct[...])  # pad rows are zero
+
+
+@functools.lru_cache(maxsize=2)
+def _mfcc_consts(dtype_name: str = "float32"):
+    """Host-side fused bases: (P^T W C), (P^T W S) (1024, 512) planes,
+    ones-padded mel (512, 128), zero-padded DCT+lifter (128, 128)."""
+    from jeicyboodsp_tpu.oracle.mfcc import PRE_EMPHASIS, WINDOW_LEN
+    from jeicyboodsp_tpu.ops.features import dct_lifter_matrix, mel_matrix
+    from jeicyboodsp_tpu.utils.cnum import REF_PI
+
+    n = WINDOW_LEN
+    i = np.arange(n)
+    ham = 0.54 - 0.46 * np.cos(2.0 * float(REF_PI) * i / (n - 1))
+    kk = i[:, None] * np.arange(512)[None, :]
+    ang = -2.0 * np.pi * kk / n
+    C = ham[:, None] * np.cos(ang)
+    S = ham[:, None] * np.sin(ang)
+    # pre-emphasis P: p[0] = 0, p[i] = f[i] - 0.96 f[i-1]  ->  fold P^T
+    # into the bases: (P f)^T C = f^T (P^T C); P^T C rows:
+    # row j of P^T C = C[j] - 0.96 * C[j+1] (last row: just C[n-1]... no:
+    # P[i, i] = 1, P[i, i-1] = -PRE, P[0, :] = 0)
+    def fold(B):
+        out = np.zeros_like(B)
+        out[: n - 1] = -PRE_EMPHASIS * B[1:]
+        out += B
+        out[0] -= B[0]  # P zeroes the first output sample entirely
+        return out
+
+    Cf = fold(C).astype(np.float32)
+    Sf = fold(S).astype(np.float32)
+    mel = np.ones((512, LANE), np.float32)  # pad cols log() to 0
+    mel[:, :38] = mel_matrix(np.float32)
+    dct = np.zeros((LANE, LANE), np.float32)  # pad rows contribute 0
+    dct[:38, :12] = dct_lifter_matrix(np.float32)
+    return Cf, Sf, mel, dct
+
+
+def mfcc_fused_pallas(prev, cur, F: int = 256, interpret: bool = False):
+    """(N, 512) int16 frame halves -> (N, 12) f32 MFCC features.
+
+    prev/cur are the two 512-sample halves of each 1024-sample analysis
+    frame (the caller frames with the in-signal keep buffer exactly as
+    ops.features.mfcc_blocks does)."""
+    N = prev.shape[0]
+    assert N % F == 0, (N, F)
+    Cf, Sf, mel, dct = _mfcc_consts()
+    consts = [
+        jnp.asarray(Cf[:512]), jnp.asarray(Cf[512:]),
+        jnp.asarray(Sf[:512]), jnp.asarray(Sf[512:]),
+        jnp.asarray(mel), jnp.asarray(dct),
+    ]
+    const_specs = [
+        pl.BlockSpec(c.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        for c in consts
+    ]
+    blk = pl.BlockSpec((F, 512), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _kernel,
+        out_shape=jax.ShapeDtypeStruct((N, LANE), jnp.float32),
+        grid_spec=pl.GridSpec(
+            grid=(N // F,),
+            in_specs=const_specs + [blk, blk],
+            out_specs=pl.BlockSpec((F, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(*consts, prev, cur)
+    return out[:, :12]

@@ -123,6 +123,25 @@ def mfcc_blocks(blocks, mel_m, dct_m, dtype=jnp.float32, fft_engine: str = "xla"
     # 2T frames at hop 512 from static slices (gathers are slow on TPU):
     # rows (2T+1, 512); frame f = rows[f] ++ rows[f+1]
     rows = flat.reshape(*lead, 2 * T + 1, KEEP_LEN)
+    if (
+        fft_engine == "mxu3"
+        and dtype == jnp.float32
+        and jax.default_backend() != "cpu"
+    ):
+        # fully-fused Pallas chain (kernels/mfcc_pallas): pre-emphasis +
+        # window folded into the DFT bases, |X|/mel/log/DCT in VMEM
+        from jeicyboodsp_tpu.kernels.mfcc_pallas import mfcc_fused_pallas
+
+        prev = rows[..., :-1, :].reshape(-1, KEEP_LEN)
+        cur = rows[..., 1:, :].reshape(-1, KEEP_LEN)
+        N = prev.shape[0]
+        F = 256
+        pad = (-N) % F
+        if pad:
+            prev = jnp.concatenate([prev, jnp.zeros((pad, KEEP_LEN), prev.dtype)])
+            cur = jnp.concatenate([cur, jnp.zeros((pad, KEEP_LEN), cur.dtype)])
+        feats = mfcc_fused_pallas(prev, cur, F=F)[:N]
+        return feats.reshape(*lead, 2 * T, MFCC_LEN)
     frames = jnp.concatenate([rows[..., :-1, :], rows[..., 1:, :]], axis=-1)
     shape = frames.shape
     feats = mfcc_frames(

@@ -187,12 +187,13 @@ def lpc_roofline(block=256, window=512, order=12) -> Roofline:
 
 
 def mfcc_roofline(block=1024, fft=1024, passes=3) -> Roofline:
-    """Per 1024-sample block: 2 frames, each one forward rDFT GEMM
-    (2 planes x fft x (fft/2+1) MACs, bf16x3) + mel (38x513) + DCT (12x38)
-    matmuls (small); pre-emphasis/window/log on the VPU (minor)."""
-    macs_frame = 2 * fft * (fft // 2 + 1) + 38 * (fft // 2 + 1) + 12 * 38
-    flops = passes * 2 * 2 * macs_frame
-    bytes_ = block * 2 + 2 * 12 * 8
+    """Per 1024-sample block as implemented (kernels/mfcc_pallas): 2 frames,
+    each one fused VMEM pass -- forward DFT GEMMs over 512 bins (2 planes x
+    fft x 512 MACs, bf16x3; pre-emphasis + window folded into the bases) +
+    mel (512x128 padded, HIGHEST = x6) + DCT (128x128, x6)."""
+    macs_frame = passes * 2 * fft * 512 + 6 * (512 * 128 + 128 * 128)
+    flops = 2 * 2 * macs_frame
+    bytes_ = block * 2 + 2 * 12 * 4
     return Roofline(flops, bytes_, block, unit="mxu")
 
 

@@ -146,6 +146,40 @@ def test_amdf_kernel_matches_masked_reference(rng):
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-3)
 
 
+def test_mfcc_fused_kernel_matches_oracle(rng):
+    """The fully-fused MFCC kernel (interpret mode): pre-emphasis + window
+    folded into the DFT bases, mel/log/DCT in VMEM -- must match the f64
+    oracle >= 60 dB and the XLA mxu3 path to bf16x3 regrouping rounding."""
+    import jax.numpy as jnp
+
+    from jeicyboodsp_tpu.kernels.mfcc_pallas import mfcc_fused_pallas
+    from jeicyboodsp_tpu.ops.features import dct_lifter_matrix, mel_matrix, mfcc_frames
+    from jeicyboodsp_tpu.oracle import mfcc as omfcc
+
+    T = 8
+    n = T * 1024
+    x = np.clip(
+        5000 * np.sin(2 * np.pi * 313 * np.arange(n) / 16000) + rng.normal(0, 20, n),
+        -32768, 32767,
+    ).astype(np.int16)
+    flat = np.concatenate([np.zeros(512, np.int16), x])
+    rows = flat.reshape(2 * T + 1, 512)
+    got = np.asarray(
+        mfcc_fused_pallas(jnp.asarray(rows[:-1]), jnp.asarray(rows[1:]), F=8, interpret=True)
+    )
+    frames = jnp.asarray(np.concatenate([rows[:-1], rows[1:]], axis=1))
+    want = np.asarray(mfcc_frames(
+        frames, jnp.asarray(mel_matrix(np.float32)), jnp.asarray(dct_lifter_matrix(np.float32)),
+        dtype=jnp.float32, fft_engine="mxu3",
+    ))
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=5e-3)
+    oref = omfcc.run(x, skip_first=False)
+    s = 10 * np.log10(
+        (oref ** 2).sum() / max(((oref - got.astype(np.float64)) ** 2).sum(), 1e-30)
+    )
+    assert s >= 60.0, s
+
+
 def test_enhance_fused_kernels_match_xla_path(rng, snr):
     """The Pallas-fused enhance fast path (interpret mode) matches the
     plain-XLA fast path (f32, HIGH) and holds the oracle SNR contract."""
