@@ -20,6 +20,15 @@ TPU mapping:
 Floating-point accumulation order differs from the C loops (XLA reduces dot
 products in its own order), so op-vs-oracle equality is an SNR>=60dB
 contract rather than bit equality; the oracle is the bit-exact anchor.
+
+Deliberately NOT implemented: the reference's mu_max eigenvalue bound
+(``BNLMS.cpp:188-226`` ``CalcMaxMu``) is dead code behind ``#if 0`` -- it
+builds the input autocorrelation Toeplitz matrix but the eigenvalue read is
+itself ``#if 0``'d out, so dTemp stays 0 and it would return inf; no caller
+exists.  The shipped behavior uses the fixed BNLMS_MU step, which is what we
+reproduce.  A working step bound on TPU would be
+``2 / max_eig(Toeplitz(autocorr))`` via ``jnp.linalg.eigvalsh``; add it only
+if a future reference revision enables the block.
 """
 
 from __future__ import annotations

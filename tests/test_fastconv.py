@@ -97,6 +97,12 @@ def test_gemm_engine_matches_oracle(rng, snr):
     assert d.max() <= 1, d.max()
     got32 = np.asarray(fastconv_blocks_gemm(blocks, dtype=jnp.float32)).reshape(-1)
     assert snr(want, got32) >= 60.0, snr(want, got32)
-    # run_stream plumbing
-    via_stream = jfc.run_stream(x, fft_engine="gemm")
-    np.testing.assert_array_equal(via_stream, got32)
+    # run_stream plumbing: dtype flows through (ADVICE r2) -- the default
+    # f64 call takes the exact Toeplitz path, an explicit f32 call the MXU one
+    via_stream64 = jfc.run_stream(x, fft_engine="gemm")
+    want64 = np.asarray(
+        fastconv_blocks_gemm(blocks, dtype=jnp.float64, precision_name="highest")
+    ).reshape(-1)
+    np.testing.assert_array_equal(via_stream64, want64)
+    via_stream32 = jfc.run_stream(x, dtype=jnp.float32, fft_engine="gemm")
+    np.testing.assert_array_equal(via_stream32, got32)
