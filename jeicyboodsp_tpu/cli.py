@@ -43,9 +43,10 @@ def main(argv=None):
     parser.add_argument(
         "--engine",
         default=None,
-        choices=["xla", "mxu", "mxu3", "gemm"],
+        choices=["xla", "mxu", "mxu3", "mxu8", "gemm"],
         help="FFT engine for --fast pipelines that support it "
         "(mxu3 = 3-pass MXU matmul DFT, the TPU speed path; "
+        "mxu8 = enhance-only int8-split forward DFT, 2x MAC rate; "
         "gemm = fastconv-only banded-Toeplitz GEMM, no spectral round-trip)",
     )
     parser.add_argument(

@@ -103,6 +103,103 @@ def enhance_fwd_pallas(prev, cur, WC, WS, nyq, F: int = 256, interpret: bool = F
     )(*consts, prev, cur)
 
 
+def _i8dot(a, b):
+    """int8 x int8 -> int32 MXU dot (runs at 2x the bf16 MAC rate on v5e)."""
+    return jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+
+
+def _fwd8_plane(ph, plo, ch, cl, Whp, Wlp, Whc, Wlc, s1p, s2p, s1c, s2c, crow):
+    """One spectral plane from int8-split data and int8-split bases.
+
+    x = 256*xh + xl + 128 exactly (xh = floor(x/256), xl int8), and
+    W ~= s1*Wh + s2*Wl per column, so
+
+        x @ W = s1*(256*(xh@Wh) + xl@Wh) + s2*256*(xh@Wl) + const_row
+
+    with the +128 shift folded into const_row = 128*(s1*colsum(Wh) +
+    s2*colsum(Wl)) and the (xl@Wl) cross term dropped (~2^-22 relative).
+    256*(xh@Wh) + (xl@Wh) fits int32: |.| <= 256*128*127*512 + 128*127*512
+    = 2.139e9 < 2^31-1.  Measured 91 dB vs the f64 DFT (the bf16x3 kernel
+    measures 110 dB; the chain's observable stays >= 88 dB)."""
+    zh = 256 * _i8dot(ph, Whp) + _i8dot(plo, Whp)
+    zc = 256 * _i8dot(ch, Whc) + _i8dot(cl, Whc)
+    rh = 256 * _i8dot(ph, Wlp)
+    rc = 256 * _i8dot(ch, Wlc)
+    return (s1p * zh.astype(jnp.float32) + s2p * rh.astype(jnp.float32)
+            + s1c * zc.astype(jnp.float32) + s2c * rc.astype(jnp.float32)
+            + crow)
+
+
+def _fwd8_kernel(Whcp, Wlcp, Whcc, Wlcc, Whsp, Wlsp, Whsc, Wlsc,
+                 scales, crows, nyp, nyc,
+                 ph_ref, pl_ref, ch_ref, cl_ref,
+                 re_ref, im_ref, ren_ref, mag_ref, magn_ref):
+    ph, plo = ph_ref[...], pl_ref[...]
+    ch, cl = ch_ref[...], cl_ref[...]
+    s = scales[...]
+    re = _fwd8_plane(ph, plo, ch, cl, Whcp[...], Wlcp[...], Whcc[...], Wlcc[...],
+                     s[0:1], s[1:2], s[2:3], s[3:4], crows[0:1])
+    im = _fwd8_plane(ph, plo, ch, cl, Whsp[...], Wlsp[...], Whsc[...], Wlsc[...],
+                     s[4:5], s[5:6], s[6:7], s[7:8], crows[1:2])
+    # Nyquist bin: rank-1 against the exact f32 reconstruction (VPU-cheap)
+    pf = 256.0 * ph.astype(jnp.float32) + plo.astype(jnp.float32) + 128.0
+    cf = 256.0 * ch.astype(jnp.float32) + cl.astype(jnp.float32) + 128.0
+    doth = lambda a, b: jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    ren = doth(pf, nyp[...]) + doth(cf, nyc[...])
+    re_ref[...] = re
+    im_ref[...] = im
+    ren_ref[...] = ren
+    mag_ref[...] = jnp.sqrt(re * re + im * im)
+    magn_ref[...] = jnp.abs(ren)
+
+
+def enhance_fwd_int8_pallas(prev_h, prev_l, cur_h, cur_l, M8, nyq,
+                            F: int = 512, interpret: bool = False):
+    """int8-MXU forward rDFT: (T, 512) int8 hi/lo planes -> re, im, re_n,
+    |X| planes (same contract as :func:`enhance_fwd_pallas`).
+
+    M8: dict from ops.enhance._dft_mats_int8 -- per-column-scaled int8
+    splits of the window-folded bases + the folded +128-shift rows.
+    Measured 0.284 ms vs 0.733 ms for the bf16x3 kernel (T=16384): int8
+    MACs run at 2x the bf16 rate AND skip the in-kernel hi/lo splitting.
+    """
+    T = prev_h.shape[0]
+    assert T % F == 0, (T, F)
+    consts = [jnp.asarray(M8[k]) for k in
+              ("WhCp", "WlCp", "WhCc", "WlCc", "WhSp", "WlSp", "WhSc", "WlSc")]
+    consts.append(jnp.asarray(M8["scales"]))  # (8, 512) f32
+    consts.append(jnp.asarray(M8["crows"]))   # (2, 512) f32
+    consts.append(jnp.asarray(nyq[:512], jnp.float32).reshape(512, 1))
+    consts.append(jnp.asarray(nyq[512:], jnp.float32).reshape(512, 1))
+    const_specs = [
+        pl.BlockSpec(c.shape, lambda i: (0,) * c.ndim, memory_space=pltpu.VMEM)
+        for c in consts
+    ]
+    blk = pl.BlockSpec((F, 512), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    col = pl.BlockSpec((F, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _fwd8_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((T, 512), jnp.float32),
+            jax.ShapeDtypeStruct((T, 512), jnp.float32),
+            jax.ShapeDtypeStruct((T, 1), jnp.float32),
+            jax.ShapeDtypeStruct((T, 512), jnp.float32),
+            jax.ShapeDtypeStruct((T, 1), jnp.float32),
+        ),
+        grid_spec=pl.GridSpec(
+            grid=(T // F,),
+            in_specs=const_specs + [blk, blk, blk, blk],
+            out_specs=(blk, blk, col, blk, col),
+        ),
+        interpret=interpret,
+    )(*consts, prev_h, prev_l, cur_h, cur_l)
+
+
 def _c_short_f32(v):
     """c_short (utils/cnum) semantics in-kernel: trunc toward zero, NaN/
     overflow -> int32 min, int16 wrap; returned as f32 of the int16 value."""

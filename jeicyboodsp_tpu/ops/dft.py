@@ -28,6 +28,10 @@ import numpy as np
 PRECISIONS = {
     "mxu": jax.lax.Precision.HIGHEST,
     "mxu3": jax.lax.Precision.HIGH,
+    # mxu8 = int8-split forward DFT in the fused enhance kernel; everywhere
+    # a plain-XLA GEMM stands in for it (CPU fallback), HIGH matches its
+    # accuracy class
+    "mxu8": jax.lax.Precision.HIGH,
     "mxu1": jax.lax.Precision.DEFAULT,
 }
 

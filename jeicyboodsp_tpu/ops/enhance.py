@@ -336,7 +336,58 @@ def _dft_mats_aligned():
     )
 
 
-def _enhance_fused3(blocks, mode, emit_all, interpret=False, F: int = 256):
+@functools.lru_cache(maxsize=None)
+def _dft_mats_int8():
+    """Per-column int8 splits of the window-folded forward bases.
+
+    Each (512, 512) base block W becomes s1*Wh + s2*Wl with int8 Wh/Wl and
+    per-COLUMN f32 scales (rint quantization; s2 recaptures the s1 residual,
+    worst remaining error ~1.5e-5 of max|W| ~= 2^-16).  The data side splits
+    EXACTLY (x = 256*xh + xl + 128), so the only approximation is the
+    matrix residual + the dropped xl@Wl cross term: measured 91 dB per
+    plane vs the f64 DFT -- and int8 MACs run at 2x the bf16 rate.
+    crows folds the +128 data shift: 128*(s1*colsum(Wh) + s2*colsum(Wl)),
+    summed over the prev/cur parts, computed in f64.
+    """
+    M = _dft_mats_aligned()
+
+    def split(W):
+        W = W.astype(np.float64)
+        s1 = np.maximum(np.abs(W).max(0), 1e-30) / 127.0
+        Wh = np.rint(W / s1).astype(np.int8)
+        R = W - s1 * Wh
+        s2 = np.maximum(np.abs(R).max(0), 1e-30) / 127.0
+        Wl = np.rint(R / s2).astype(np.int8)
+        return Wh, Wl, s1, s2
+
+    out = {}
+    scales = []
+    crows = []
+    for name, W in (("C", M["WC"]), ("S", M["WS"])):
+        crow = np.zeros(512, np.float64)
+        for part, sl in (("p", slice(0, 512)), ("c", slice(512, 1024))):
+            Wh, Wl, s1, s2 = split(W[sl])
+            out[f"Wh{name}{part}"] = Wh
+            out[f"Wl{name}{part}"] = Wl
+            scales += [s1.astype(np.float32), s2.astype(np.float32)]
+            crow += 128.0 * (s1 * Wh.astype(np.int64).sum(0)
+                             + s2 * Wl.astype(np.int64).sum(0))
+        crows.append(crow.astype(np.float32))
+    out["scales"] = np.stack(scales)  # (8, 512): C p s1,s2, C c, S p, S c
+    out["crows"] = np.stack(crows)    # (2, 512)
+    return out
+
+
+def _split_int8(bp):
+    """(T, 512) int16 -> exact int8 hi/lo planes: x = 256*h + l + 128."""
+    xi = bp.astype(jnp.int32)
+    xh = jnp.right_shift(xi, 8)  # floor(x/256), arithmetic shift
+    xl = xi - 256 * xh - 128
+    return xh.astype(jnp.int8), xl.astype(jnp.int8)
+
+
+def _enhance_fused3(blocks, mode, emit_all, interpret=False, F: int = 256,
+                    int8_fwd: bool = False):
     """Fused fast path v3 (the default TPU mxu3 path): u/vv contractions as
     in _enhance_fused, but the OLA (lane flip + shift + add + c_short)
     stays in-kernel via an exact 2-pass permutation GEMM (see
@@ -358,10 +409,23 @@ def _enhance_fused3(blocks, mode, emit_all, interpret=False, F: int = 256):
         jnp.concatenate([blocks, jnp.zeros((pad, BLOCK_LEN), blocks.dtype)], axis=0)
         if pad else blocks
     )
-    prev = jnp.concatenate([jnp.zeros((1, BLOCK_LEN), bp.dtype), bp[:-1]], axis=0)
-    re, im, re_n, mag512, mag_n = EP.enhance_fwd_pallas(
-        prev, bp, M["WC"], M["WS"], M["nyq"], F=F, interpret=interpret
-    )
+    if int8_fwd:
+        # the fwd GEMM operands are raw int16 blocks (window folded into the
+        # bases), so the data side splits EXACTLY into int8 -- 2x MAC rate
+        # (measured fwd 0.284 vs 0.733 ms at T=16384, 91 dB per plane)
+        cur_h, cur_l = _split_int8(bp)
+        prev_h = jnp.concatenate([jnp.zeros((1, BLOCK_LEN), jnp.int8), cur_h[:-1]], axis=0)
+        prev_l = jnp.concatenate(  # a zero block is h=0, l=-128 (+128 shift)
+            [jnp.full((1, BLOCK_LEN), -128, jnp.int8), cur_l[:-1]], axis=0)
+        re, im, re_n, mag512, mag_n = EP.enhance_fwd_int8_pallas(
+            prev_h, prev_l, cur_h, cur_l, _dft_mats_int8(), M["nyq"],
+            F=F, interpret=interpret,
+        )
+    else:
+        prev = jnp.concatenate([jnp.zeros((1, BLOCK_LEN), bp.dtype), bp[:-1]], axis=0)
+        re, im, re_n, mag512, mag_n = EP.enhance_fwd_pallas(
+            prev, bp, M["WC"], M["WS"], M["nyq"], F=F, interpret=interpret
+        )
     speech = vad_flags(bp, jnp.float32)
     mags = jnp.concatenate([mag512, mag_n], axis=-1)
     ns = _noise_latch_closed_form(speech, mags)
@@ -418,7 +482,7 @@ def _enhance_fused(blocks, mode, emit_all, interpret=False, F: int = 512):
     return out[:T], write_mask[:T]
 
 
-def _enhance_fast_mxu(blocks, mode, dtype, precision, emit_all):
+def _enhance_fast_mxu(blocks, mode, dtype, precision, emit_all, int8_fwd=False):
     """The TPU speed path: 512-aligned GEMMs, symmetry-halved inverse,
     closed-form noise latch.  Same math as the generic path (ratio
     resynthesis) up to rounding; SNR contract asserted by tests/bench.
@@ -433,8 +497,10 @@ def _enhance_fast_mxu(blocks, mode, dtype, precision, emit_all):
     ):
         # fused3 keeps the OLA (lane-flip + shift + add + c_short) in-kernel
         # -- equals _enhance_fused to +-1 truncation flips, measured +7%
-        # (interleaved min-of-2x51 runs: 5.16-5.63 vs 4.87-5.05 G samples/s)
-        return _enhance_fused3(blocks, mode, emit_all, F=512)
+        # (interleaved min-of-2x51 runs: 5.16-5.63 vs 4.87-5.05 G samples/s);
+        # int8_fwd (engine mxu8) additionally runs the forward rDFT as
+        # exact-int8-split GEMMs at 2x MAC rate
+        return _enhance_fused3(blocks, mode, emit_all, F=512, int8_fwd=int8_fwd)
     T = blocks.shape[0]
     M = _dft_mats_aligned()
     WC, WS = jnp.asarray(M["WC"], dtype), jnp.asarray(M["WS"], dtype)
@@ -522,7 +588,10 @@ def enhance_blocks(
     if fft_engine.startswith("mxu") and resynth == "ratio":
         from jeicyboodsp_tpu.ops.dft import precision_of
 
-        return _enhance_fast_mxu(blocks, mode, fdtype, precision_of(fft_engine), emit_all)
+        return _enhance_fast_mxu(
+            blocks, mode, fdtype, precision_of(fft_engine), emit_all,
+            int8_fwd=(fft_engine == "mxu8"),
+        )
 
     prev = jnp.concatenate([jnp.zeros((1, BLOCK_LEN), blocks.dtype), blocks[:-1]], axis=0)
     X = frame_transform(

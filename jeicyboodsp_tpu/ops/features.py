@@ -283,11 +283,16 @@ def pitch_frames(frames, method: int = 1, dtype=jnp.float64, fft_engine: str = "
         arg, val = _pick(ac, True)
     elif method == 2 and fft_engine != "xla":
         # AMDF has no FFT form; the fast path is the VMEM-resident Pallas
-        # kernel (one HBM read per frame instead of one per lag)
+        # kernel (one HBM read per frame instead of one per lag).  The
+        # reference search (PitchEstimation_method2.cpp:103-113) only reads
+        # lags 101..511, so the kernel skips lags < 96 (~19% of the work).
         from jeicyboodsp_tpu.kernels.amdf_pallas import amdf_pallas
 
-        ac = amdf_pallas(u).astype(dtype)
-        arg, val = _pick(ac, False)
+        lo = 96
+        ac = amdf_pallas(u, lo=lo).astype(dtype)  # (T, 416): lags 96..511
+        sl = ac[:, 101 - lo :]
+        val = jnp.min(sl, axis=1)
+        arg = 101 + jnp.argmax(sl == val[:, None], axis=1)
     elif method == 3 and fft_engine.startswith("mxu"):
         # linear autocorrelation == Wiener-Khinchin on the zero-padded frame:
         # rdft(2048) -> power -> one cosine matmul; exact same sums as the

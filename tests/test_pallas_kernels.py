@@ -145,6 +145,10 @@ def test_amdf_kernel_matches_masked_reference(rng):
     got = np.asarray(amdf_pallas(jnp.asarray(u), interpret=True))
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-3)
 
+    # lo=96 (the pitch path's truncation): rows are exactly the tail of lo=0
+    got96 = np.asarray(amdf_pallas(jnp.asarray(u), lo=96, interpret=True))
+    np.testing.assert_allclose(got96, want[:, 96:], rtol=1e-6, atol=1e-3)
+
 
 def test_mfcc_fused_kernel_matches_oracle(rng):
     """The fully-fused MFCC kernel (interpret mode): pre-emphasis + window
@@ -223,3 +227,12 @@ def test_enhance_fused_kernels_match_xla_path(rng, snr):
         c = np.asarray(out_3)[np.asarray(mask_3)].astype(np.float64).reshape(-1)
         s3 = 10 * np.log10((want ** 2).sum() / max(((want - c) ** 2).sum(), 1e-30))
         assert s3 >= 60.0, (mode, s3)
+        # int8 forward engine (mxu8): exact int8 data split + per-column
+        # int8 matrix split, forward planes ~91 dB -> chain must stay well
+        # above the 60 dB observable contract and close to the bf16x3 path
+        out_8, mask_8 = E._enhance_fused3(blocks, mode, emit_all=False,
+                                          interpret=True, F=8, int8_fwd=True)
+        np.testing.assert_array_equal(np.asarray(mask_f), np.asarray(mask_8))
+        e = np.asarray(out_8)[np.asarray(mask_8)].astype(np.float64).reshape(-1)
+        s8 = 10 * np.log10((want ** 2).sum() / max(((want - e) ** 2).sum(), 1e-30))
+        assert s8 >= 75.0, (mode, s8)
