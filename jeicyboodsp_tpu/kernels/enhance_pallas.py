@@ -51,8 +51,23 @@ def _dot3(a, b):
     return d(ah, bh) + (d(ah, bl) + d(al, bh))
 
 
-def _fwd_kernel(wcp, wcc, wsp, wsc, nyp, nyc, prev_ref, cur_ref,
-                re_ref, im_ref, ren_ref, mag_ref, magn_ref):
+def _vad_rows(cur_f, w2row):
+    """In-kernel VAD (WienerFilter_final.cpp:261-296 semantics): int16
+    window truncation, energy over 1024, windowed[i] x raw[i+1] ZCR (the
+    last sample pairs with OOB -> 0, never < 0).  cur_f: (F, 512) raw block
+    values as f32; w2row: (1, 512) second Hamming half.  Returns (F, 1)
+    f32 speech flags (1.0 = speech).  Sign decisions are exact (integer
+    products never flip sign under f32 rounding); the energy sum's f32
+    grouping matches the XLA path's class."""
+    s = _c_short_f32(cur_f * w2row)
+    energy = jnp.sum(s * s, axis=1, keepdims=True) * (1.0 / 1024.0)
+    prod = s[:, :511] * cur_f[:, 1:]
+    zcr = jnp.sum((prod < 0.0).astype(jnp.float32), axis=1, keepdims=True)
+    return ((energy > 700.0) | (zcr < 200.0)).astype(jnp.float32)
+
+
+def _fwd_kernel(wcp, wcc, wsp, wsc, nyp, nyc, w2row, prev_ref, cur_ref,
+                re_ref, im_ref, ren_ref, mag_ref, magn_ref, sp_ref):
     prev = prev_ref[...].astype(jnp.float32)
     cur = cur_ref[...].astype(jnp.float32)
     re = _dot3(prev, wcp[...]) + _dot3(cur, wcc[...])
@@ -63,12 +78,17 @@ def _fwd_kernel(wcp, wcc, wsp, wsc, nyp, nyc, prev_ref, cur_ref,
     ren_ref[...] = ren
     mag_ref[...] = jnp.sqrt(re * re + im * im)
     magn_ref[...] = jnp.abs(ren)
+    sp_ref[...] = _vad_rows(cur, w2row[...])
 
 
-def enhance_fwd_pallas(prev, cur, WC, WS, nyq, F: int = 256, interpret: bool = False):
-    """(T, 512) int16 prev/cur blocks -> re, im (T, 512), re_n, |X| planes.
+def enhance_fwd_pallas(prev, cur, WC, WS, nyq, w2, F: int = 256, interpret: bool = False):
+    """(T, 512) int16 prev/cur blocks -> re, im (T, 512), re_n, |X| planes,
+    speech flags (T, 1).
 
-    WC/WS: (1024, 512) window-folded forward bases; nyq: (1024,).
+    WC/WS: (1024, 512) window-folded forward bases; nyq: (1024,); w2: the
+    second Hamming half (512,) for the in-kernel VAD (the separate XLA
+    vad_flags pass re-read every block from HBM; the kernel already holds
+    them in VMEM, and the VPU work hides under the MXU GEMMs).
     NOT jitted itself: matrices must arrive as host constants (callers are
     jitted; an inner jit would trace them and lose the literal Nyquist term).
     """
@@ -78,6 +98,7 @@ def enhance_fwd_pallas(prev, cur, WC, WS, nyq, F: int = 256, interpret: bool = F
         jnp.asarray(WC[:512]), jnp.asarray(WC[512:]),
         jnp.asarray(WS[:512]), jnp.asarray(WS[512:]),
         jnp.asarray(nyq[:512]).reshape(512, 1), jnp.asarray(nyq[512:]).reshape(512, 1),
+        jnp.asarray(w2, jnp.float32).reshape(1, 512),
     ]
     const_specs = [
         pl.BlockSpec(c.shape, lambda i: (0,) * c.ndim, memory_space=pltpu.VMEM)
@@ -93,11 +114,12 @@ def enhance_fwd_pallas(prev, cur, WC, WS, nyq, F: int = 256, interpret: bool = F
             jax.ShapeDtypeStruct((T, 1), jnp.float32),
             jax.ShapeDtypeStruct((T, 512), jnp.float32),
             jax.ShapeDtypeStruct((T, 1), jnp.float32),
+            jax.ShapeDtypeStruct((T, 1), jnp.float32),
         ),
         grid_spec=pl.GridSpec(
             grid=(T // F,),
             in_specs=const_specs + [blk, blk],
-            out_specs=(blk, blk, col, blk, col),
+            out_specs=(blk, blk, col, blk, col, col),
         ),
         interpret=interpret,
     )(*consts, prev, cur)
@@ -133,9 +155,9 @@ def _fwd8_plane(ph, plo, ch, cl, Whp, Wlp, Whc, Wlc, s1p, s2p, s1c, s2c, crow):
 
 
 def _fwd8_kernel(Whcp, Wlcp, Whcc, Wlcc, Whsp, Wlsp, Whsc, Wlsc,
-                 scales, crows, nyp, nyc,
+                 scales, crows, nyp, nyc, w2row,
                  ph_ref, pl_ref, ch_ref, cl_ref,
-                 re_ref, im_ref, ren_ref, mag_ref, magn_ref):
+                 re_ref, im_ref, ren_ref, mag_ref, magn_ref, sp_ref):
     ph, plo = ph_ref[...], pl_ref[...]
     ch, cl = ch_ref[...], cl_ref[...]
     s = scales[...]
@@ -156,12 +178,13 @@ def _fwd8_kernel(Whcp, Wlcp, Whcc, Wlcc, Whsp, Wlsp, Whsc, Wlsc,
     ren_ref[...] = ren
     mag_ref[...] = jnp.sqrt(re * re + im * im)
     magn_ref[...] = jnp.abs(ren)
+    sp_ref[...] = _vad_rows(cf, w2row[...])
 
 
-def enhance_fwd_int8_pallas(prev_h, prev_l, cur_h, cur_l, M8, nyq,
+def enhance_fwd_int8_pallas(prev_h, prev_l, cur_h, cur_l, M8, nyq, w2,
                             F: int = 512, interpret: bool = False):
     """int8-MXU forward rDFT: (T, 512) int8 hi/lo planes -> re, im, re_n,
-    |X| planes (same contract as :func:`enhance_fwd_pallas`).
+    |X| planes, speech flags (same contract as :func:`enhance_fwd_pallas`).
 
     M8: dict from ops.enhance._dft_mats_int8 -- per-column-scaled int8
     splits of the window-folded bases + the folded +128-shift rows.
@@ -176,6 +199,7 @@ def enhance_fwd_int8_pallas(prev_h, prev_l, cur_h, cur_l, M8, nyq,
     consts.append(jnp.asarray(M8["crows"]))   # (2, 512) f32
     consts.append(jnp.asarray(nyq[:512], jnp.float32).reshape(512, 1))
     consts.append(jnp.asarray(nyq[512:], jnp.float32).reshape(512, 1))
+    consts.append(jnp.asarray(w2, jnp.float32).reshape(1, 512))
     const_specs = [
         pl.BlockSpec(c.shape, lambda i: (0,) * c.ndim, memory_space=pltpu.VMEM)
         for c in consts
@@ -190,11 +214,12 @@ def enhance_fwd_int8_pallas(prev_h, prev_l, cur_h, cur_l, M8, nyq,
             jax.ShapeDtypeStruct((T, 1), jnp.float32),
             jax.ShapeDtypeStruct((T, 512), jnp.float32),
             jax.ShapeDtypeStruct((T, 1), jnp.float32),
+            jax.ShapeDtypeStruct((T, 1), jnp.float32),
         ),
         grid_spec=pl.GridSpec(
             grid=(T // F,),
             in_specs=const_specs + [blk, blk, blk, blk],
-            out_specs=(blk, blk, col, blk, col),
+            out_specs=(blk, blk, col, blk, col, col),
         ),
         interpret=interpret,
     )(*consts, prev_h, prev_l, cur_h, cur_l)

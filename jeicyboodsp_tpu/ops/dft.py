@@ -40,6 +40,24 @@ def precision_of(fft_engine: str):
     return PRECISIONS.get(fft_engine, jax.lax.Precision.HIGHEST)
 
 
+def int8_col_split(W):
+    """Per-column 2-term int8 quantization: W ~= s1*Wh + s2*Wl.
+
+    Wh/Wl int8, s1/s2 positive f64 per-column scales; the second term
+    recaptures the first's rounding residual, leaving a worst-case error
+    of max|col|/(127*2*127) ~= 2^-16 relative per column.  Paired with an
+    EXACT int16 -> 2x int8 data split, this runs f32-class GEMMs at the
+    MXU's int8 MAC rate (2x bf16) with int32-exact accumulation.
+    """
+    W = np.asarray(W, np.float64)
+    s1 = np.maximum(np.abs(W).max(0), 1e-30) / 127.0
+    Wh = np.rint(W / s1).astype(np.int8)
+    R = W - s1 * Wh
+    s2 = np.maximum(np.abs(R).max(0), 1e-30) / 127.0
+    Wl = np.rint(R / s2).astype(np.int8)
+    return Wh, Wl, s1, s2
+
+
 @functools.lru_cache(maxsize=None)
 def _rdft_mats(n: int):
     """Forward real-DFT matrices (n, n//2+1): X_k = x @ (C + iS)."""

@@ -143,7 +143,7 @@ def _noise_assoc_scan(speech, mags):
     return latched_from_composed(s_, bh_)
 
 
-def _noise_latch_closed_form(speech, mags, chunk: int = 64):
+def _noise_latch_parts(speech, planes, chunk: int = 64):
     """Closed-form noise latch -- the chain's fast path.
 
     The recursion A' = a*A + c*m has a ∈ {1, 1/2}: every decay is an EXACT
@@ -161,14 +161,18 @@ def _noise_latch_closed_form(speech, mags, chunk: int = 64):
 
     The latched output N_t is A at the most recent block where a noise run
     reached NOISE_FRAMES: a cummax of latch indices + one row gather.
+
+    ``planes`` is a tuple of (T, nb_i) magnitude planes latched with the
+    SAME scalar machinery; the fused path passes (mag512, mag_nyquist)
+    separately so every plane pass stays 512-lane-aligned (a 513-wide
+    plane pads to 640 lanes = +25% VPU/HBM waste on every latch op).
     """
-    dtype = mags.dtype
-    T, nb = mags.shape
+    dtype = planes[0].dtype
+    T = planes[0].shape[0]
     L = chunk
     Tp = -(-T // L) * L
     idx = jnp.arange(Tp)
     noise = jnp.zeros(Tp, bool).at[:T].set(~speech)  # pad rows = speech
-    m = jnp.zeros((Tp, nb), dtype).at[:T].set(mags)
 
     last_speech = jax.lax.cummax(jnp.where(~noise, idx, -1))
     cnt = jnp.where(noise, idx - last_speech, 0)  # run length, 0 on speech
@@ -186,8 +190,6 @@ def _noise_latch_closed_form(speech, mags, chunk: int = 64):
     # (~3x the VPU cumsum's rate at these shapes); the 0/1 triangle is exact
     # in bf16, so HIGH keeps f32-accurate sums on TPU
     tri = jnp.asarray(np.tril(np.ones((L, L), np.float32)), dtype)
-    wm = w[..., None] * m.reshape(Tp // L, L, nb)
-    S = jnp.einsum("lj,cjb->clb", tri, wm, precision=jax.lax.Precision.HIGH)
     p = jnp.exp2(-lk.astype(dtype))  # exact
 
     # cross-chunk composition A_out = p_c (A_in + S_c): tiny affine
@@ -198,20 +200,32 @@ def _noise_latch_closed_form(speech, mags, chunk: int = 64):
         return a2 * a1, a2[..., None] * b1 + b2
 
     a_el = p[:, -1]
-    b_el = p[:, -1, None] * S[:, -1]
-    _, Bc = jax.lax.associative_scan(comb, (a_el, b_el))
-    A0s = jnp.concatenate([jnp.zeros((1, nb), dtype), Bc[:-1]], axis=0)
-    A = p[..., None] * (A0s[:, None, :] + S)  # (T/L, L, nb)
-    A = A.reshape(Tp, nb)
-
     latch = upd & (cnt == NOISE_FRAMES)
     lidx = jax.lax.cummax(jnp.where(latch, idx, -1))
-    ns = jnp.where(
-        (lidx >= 0)[:, None],
-        jnp.take_along_axis(A, jnp.maximum(lidx, 0)[:, None], axis=0),
-        jnp.zeros((), dtype),
-    )
-    return ns[:T]
+    have = (lidx >= 0)[:, None]
+    gidx = jnp.maximum(lidx, 0)[:, None]
+
+    outs = []
+    for mags in planes:
+        nb = mags.shape[1]
+        m = jnp.zeros((Tp, nb), dtype).at[:T].set(mags)
+        wm = w[..., None] * m.reshape(Tp // L, L, nb)
+        S = jnp.einsum("lj,cjb->clb", tri, wm, precision=jax.lax.Precision.HIGH)
+        b_el = p[:, -1, None] * S[:, -1]
+        _, Bc = jax.lax.associative_scan(comb, (a_el, b_el))
+        A0s = jnp.concatenate([jnp.zeros((1, nb), dtype), Bc[:-1]], axis=0)
+        A = p[..., None] * (A0s[:, None, :] + S)  # (T/L, L, nb)
+        A = A.reshape(Tp, nb)
+        ns = jnp.where(
+            have, jnp.take_along_axis(A, gidx, axis=0), jnp.zeros((), dtype)
+        )
+        outs.append(ns[:T])
+    return tuple(outs)
+
+
+def _noise_latch_closed_form(speech, mags, chunk: int = 64):
+    """Single-plane wrapper over :func:`_noise_latch_parts`."""
+    return _noise_latch_parts(speech, (mags,), chunk=chunk)[0]
 
 
 @functools.lru_cache(maxsize=None)
@@ -333,6 +347,7 @@ def _dft_mats_aligned():
         nyq=np.ascontiguousarray(C[:, 512]),
         UC512=UC[:512], VS512=VS[:512],  # VS[512] is exactly zero
         u_nyq=np.ascontiguousarray(UC[512]), y512col=y512col,
+        w2=np.ascontiguousarray(ham[512:, 0].astype(np.float32)),  # VAD half
     )
 
 
@@ -349,17 +364,9 @@ def _dft_mats_int8():
     crows folds the +128 data shift: 128*(s1*colsum(Wh) + s2*colsum(Wl)),
     summed over the prev/cur parts, computed in f64.
     """
+    from jeicyboodsp_tpu.ops.dft import int8_col_split as split
+
     M = _dft_mats_aligned()
-
-    def split(W):
-        W = W.astype(np.float64)
-        s1 = np.maximum(np.abs(W).max(0), 1e-30) / 127.0
-        Wh = np.rint(W / s1).astype(np.int8)
-        R = W - s1 * Wh
-        s2 = np.maximum(np.abs(R).max(0), 1e-30) / 127.0
-        Wl = np.rint(R / s2).astype(np.int8)
-        return Wh, Wl, s1, s2
-
     out = {}
     scales = []
     crows = []
@@ -417,20 +424,19 @@ def _enhance_fused3(blocks, mode, emit_all, interpret=False, F: int = 256,
         prev_h = jnp.concatenate([jnp.zeros((1, BLOCK_LEN), jnp.int8), cur_h[:-1]], axis=0)
         prev_l = jnp.concatenate(  # a zero block is h=0, l=-128 (+128 shift)
             [jnp.full((1, BLOCK_LEN), -128, jnp.int8), cur_l[:-1]], axis=0)
-        re, im, re_n, mag512, mag_n = EP.enhance_fwd_int8_pallas(
-            prev_h, prev_l, cur_h, cur_l, _dft_mats_int8(), M["nyq"],
+        re, im, re_n, mag512, mag_n, sp = EP.enhance_fwd_int8_pallas(
+            prev_h, prev_l, cur_h, cur_l, _dft_mats_int8(), M["nyq"], M["w2"],
             F=F, interpret=interpret,
         )
     else:
         prev = jnp.concatenate([jnp.zeros((1, BLOCK_LEN), bp.dtype), bp[:-1]], axis=0)
-        re, im, re_n, mag512, mag_n = EP.enhance_fwd_pallas(
-            prev, bp, M["WC"], M["WS"], M["nyq"], F=F, interpret=interpret
+        re, im, re_n, mag512, mag_n, sp = EP.enhance_fwd_pallas(
+            prev, bp, M["WC"], M["WS"], M["nyq"], M["w2"], F=F, interpret=interpret
         )
-    speech = vad_flags(bp, jnp.float32)
-    mags = jnp.concatenate([mag512, mag_n], axis=-1)
-    ns = _noise_latch_closed_form(speech, mags)
+    speech = sp[:, 0] > 0.5  # in-kernel VAD (vad_flags semantics)
+    ns512, ns_n = _noise_latch_parts(speech, (mag512, mag_n))
     out_f = EP.enhance_back_ola3_pallas(
-        re, im, re_n, ns[:, :512], ns[:, 512:513],
+        re, im, re_n, ns512, ns_n,
         M["UC512"], M["VS512"], M["u_nyq"], M["y512col"], J,
         mode=mode, F=F, interpret=interpret,
     )
@@ -457,14 +463,13 @@ def _enhance_fused(blocks, mode, emit_all, interpret=False, F: int = 512):
     )
     Tp = bp.shape[0]
     prev = jnp.concatenate([jnp.zeros((1, BLOCK_LEN), bp.dtype), bp[:-1]], axis=0)
-    re, im, re_n, mag512, mag_n = EP.enhance_fwd_pallas(
-        prev, bp, M["WC"], M["WS"], M["nyq"], F=F, interpret=interpret
+    re, im, re_n, mag512, mag_n, sp = EP.enhance_fwd_pallas(
+        prev, bp, M["WC"], M["WS"], M["nyq"], M["w2"], F=F, interpret=interpret
     )
-    speech = vad_flags(bp, jnp.float32)
-    mags = jnp.concatenate([mag512, mag_n], axis=-1)  # (Tp, 513)
-    ns = _noise_latch_closed_form(speech, mags)
+    speech = sp[:, 0] > 0.5  # in-kernel VAD (vad_flags semantics)
+    ns512, ns_n = _noise_latch_parts(speech, (mag512, mag_n))
     head, w2, y512 = EP.enhance_back_pallas(
-        re, im, re_n, ns[:, :512], ns[:, 512:513],
+        re, im, re_n, ns512, ns_n,
         M["UC512"], M["VS512"], M["u_nyq"], M["y512col"],
         mode=mode, F=F, interpret=interpret,
     )

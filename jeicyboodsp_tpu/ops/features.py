@@ -124,12 +124,15 @@ def mfcc_blocks(blocks, mel_m, dct_m, dtype=jnp.float32, fft_engine: str = "xla"
     # rows (2T+1, 512); frame f = rows[f] ++ rows[f+1]
     rows = flat.reshape(*lead, 2 * T + 1, KEEP_LEN)
     if (
-        fft_engine == "mxu3"
+        fft_engine in ("mxu3", "mxu8")
         and dtype == jnp.float32
         and jax.default_backend() != "cpu"
     ):
         # fully-fused Pallas chain (kernels/mfcc_pallas): pre-emphasis +
-        # window folded into the DFT bases, |X|/mel/log/DCT in VMEM
+        # window folded into the DFT bases, |X|/mel/log/DCT in VMEM.
+        # mxu8 aliases the bf16x3 kernel here: the int8-split variant
+        # measured 54.8 dB (< 60 bar) -- the log stage amplifies the int8
+        # basis residual at spectral valleys (see kernels/mfcc_pallas).
         from jeicyboodsp_tpu.kernels.mfcc_pallas import mfcc_fused_pallas
 
         prev = rows[..., :-1, :].reshape(-1, KEEP_LEN)
