@@ -43,11 +43,12 @@ def main(argv=None):
     parser.add_argument(
         "--engine",
         default=None,
-        choices=["xla", "mxu", "mxu3", "mxu8", "gemm"],
+        choices=["xla", "mxu", "mxu3", "mxu8", "gemm", "gemm8"],
         help="FFT engine for --fast pipelines that support it "
-        "(mxu3 = 3-pass MXU matmul DFT, the TPU speed path; "
-        "mxu8 = enhance-only int8-split forward DFT, 2x MAC rate; "
-        "gemm = fastconv-only banded-Toeplitz GEMM, no spectral round-trip)",
+        "(mxu3 = 3-pass MXU matmul DFT; "
+        "mxu8 = enhance-only full-int8 fused kernels, 2x MAC rate, ~70 dB; "
+        "gemm = fastconv-only banded-Toeplitz GEMM, no spectral round-trip; "
+        "gemm8 = the int8-MXU Toeplitz GEMM, ~77 dB)",
     )
     parser.add_argument(
         "--verbose",

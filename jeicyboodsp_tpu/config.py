@@ -10,6 +10,40 @@ from __future__ import annotations
 
 import dataclasses
 
+# Per-engine fidelity contract (VERDICT r3 item 2): SNR floors in dB vs the
+# f64 oracle on the standard speech+noise probe, asserted by
+# tests/test_engine_matrix.py (interpret-mode kernels) and re-proven on real
+# silicon by utils/tpu_checks.run_checks with every driver bench.  "typ" is
+# the measured value on the probe; "floor" is the CI bound.  Engines below
+# the 60 dB compat bar are not CLI-reachable (mxu1 is kept only as a guard).
+ENGINE_FIDELITY = {
+    # enhance chain (wiener/specsub)
+    ("enhance", "xla"): dict(floor=95.0, typ=104.0, note="f32 XLA VPU FFT"),
+    ("enhance", "mxu"): dict(floor=90.0, typ=100.0, note="bf16x6 matmul DFT"),
+    ("enhance", "mxu3"): dict(floor=85.0, typ=90.0, note="bf16x3 fused Pallas"),
+    ("enhance", "mxu8"): dict(
+        floor=65.0, typ=69.5,
+        note="full-int8 fused Pallas: int8-split fwd rDFT + per-row-quantized "
+             "int8 inverse; each split is ~2^-16, amplified through the "
+             "Wiener gain nonlinearity",
+    ),
+    ("enhance", "mxu1"): dict(
+        floor=None, typ=52.0, note="1-pass bf16: BELOW the 60 dB bar; "
+        "excluded from the CLI (guarded by tpu_checks mxu1_below_bar)",
+    ),
+    # fastconv
+    ("fastconv", "xla"): dict(floor=88.0, typ=96.6, note="tiled rfft"),
+    ("fastconv", "gemm"): dict(floor=95.0, typ=107.0, note="f32 Toeplitz GEMM"),
+    ("fastconv", "gemm8"): dict(
+        floor=70.0, typ=76.6,
+        note="int8 Toeplitz GEMM (4-dot): bounded by the operator-split "
+             "residual -- the sparse RIR concentrates it",
+    ),
+    # mvdr / mfcc (engine changes only the DFT GEMM passes)
+    ("mvdr", "mxu3"): dict(floor=80.0, typ=90.0, note="theta=0 collapse is exact"),
+    ("mfcc", "mxu3"): dict(floor=100.0, typ=111.0, note="fused Pallas kernel 85 dB on TPU"),
+}
+
 
 @dataclasses.dataclass
 class GEQConfig:

@@ -85,7 +85,10 @@ def amdf_pallas(frames, lo: int = 0, interpret: bool = False):
     k in [lo, 512): corr[k] = sum_{i<1024-k} |u_i - u_{i+k}| / (1024 - k),
     matching the reference loop (PitchEstimation_method2.cpp:79-95).
     ``lo`` must be a multiple of 8 (sublane-aligned group writes)."""
-    assert lo % 8 == 0 and 0 <= lo < KEEP, lo
+    if lo % 8 != 0 or not 0 <= lo < KEEP:
+        # public-API precondition: survives python -O (a bare assert would
+        # not), where an unaligned lo silently misaligns the group writes
+        raise ValueError(f"lo must be a multiple of 8 in [0, {KEEP}); got {lo}")
     T = frames.shape[0]
     keep = KEEP - lo
     Tp = -(-T // LANES) * LANES

@@ -155,19 +155,39 @@ def _fwd8_plane(ph, plo, ch, cl, Whp, Wlp, Whc, Wlc, s1p, s2p, s1c, s2c, crow):
 
 
 def _fwd8_kernel(Whcp, Wlcp, Whcc, Wlcc, Whsp, Wlsp, Whsc, Wlsc,
-                 scales, crows, nyp, nyc, w2row,
-                 ph_ref, pl_ref, ch_ref, cl_ref,
-                 re_ref, im_ref, ren_ref, mag_ref, magn_ref, sp_ref):
-    ph, plo = ph_ref[...], pl_ref[...]
-    ch, cl = ch_ref[...], cl_ref[...]
+                 scales, crows, nyp, nyc, w2row, cur_ref,
+                 re_ref, im_ref, ren_ref, mag_ref, magn_ref, sp_ref, cprev):
+    """Raw (F, 512) int16 blocks in; the exact int8 hi/lo split AND the
+    one-row prev shift happen in VMEM (a sublane roll + scratch carry on
+    the sequential grid), so the XLA-side split/concat passes -- ~50 MB of
+    HBM traffic per 16384-block batch -- disappear."""
+    pid = pl.program_id(0)
+
+    @pl.when(pid == 0)
+    def _():
+        cprev[...] = jnp.zeros_like(cprev)  # block -1 is all zeros
+
+    cur = cur_ref[...].astype(jnp.int32)  # Mosaic rotate needs 32-bit data
+    F = cur.shape[0]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (F, 1), 0)
+    prev = jnp.where(rows == 0, cprev[...], pltpu.roll(cur, 1, 0))
+    cprev[...] = cur[F - 1 :, :]
+
+    def split8(xi):
+        xh = jax.lax.shift_right_arithmetic(xi, jnp.int32(8))  # floor(x/256)
+        xl = xi - 256 * xh - 128
+        return xh.astype(jnp.int8), xl.astype(jnp.int8)
+
+    ph, plo = split8(prev)
+    ch, cl = split8(cur)
     s = scales[...]
     re = _fwd8_plane(ph, plo, ch, cl, Whcp[...], Wlcp[...], Whcc[...], Wlcc[...],
                      s[0:1], s[1:2], s[2:3], s[3:4], crows[0:1])
     im = _fwd8_plane(ph, plo, ch, cl, Whsp[...], Wlsp[...], Whsc[...], Wlsc[...],
                      s[4:5], s[5:6], s[6:7], s[7:8], crows[1:2])
-    # Nyquist bin: rank-1 against the exact f32 reconstruction (VPU-cheap)
-    pf = 256.0 * ph.astype(jnp.float32) + plo.astype(jnp.float32) + 128.0
-    cf = 256.0 * ch.astype(jnp.float32) + cl.astype(jnp.float32) + 128.0
+    # Nyquist bin: rank-1 against the exact f32 block values (VPU-cheap)
+    pf = prev.astype(jnp.float32)
+    cf = cur.astype(jnp.float32)
     doth = lambda a, b: jax.lax.dot_general(
         a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
@@ -181,17 +201,19 @@ def _fwd8_kernel(Whcp, Wlcp, Whcc, Wlcc, Whsp, Wlsp, Whsc, Wlsc,
     sp_ref[...] = _vad_rows(cf, w2row[...])
 
 
-def enhance_fwd_int8_pallas(prev_h, prev_l, cur_h, cur_l, M8, nyq, w2,
-                            F: int = 512, interpret: bool = False):
-    """int8-MXU forward rDFT: (T, 512) int8 hi/lo planes -> re, im, re_n,
+def enhance_fwd_int8_pallas(cur, M8, nyq, w2, F: int = 512,
+                            interpret: bool = False):
+    """int8-MXU forward rDFT: raw (T, 512) int16 blocks -> re, im, re_n,
     |X| planes, speech flags (same contract as :func:`enhance_fwd_pallas`).
 
     M8: dict from ops.enhance._dft_mats_int8 -- per-column-scaled int8
     splits of the window-folded bases + the folded +128-shift rows.
     Measured 0.284 ms vs 0.733 ms for the bf16x3 kernel (T=16384): int8
-    MACs run at 2x the bf16 rate AND skip the in-kernel hi/lo splitting.
+    MACs run at 2x the bf16 rate; the exact data split and the prev-row
+    shift happen in VMEM (r4: the XLA-side split/concat variant cost an
+    extra ~0.1 ms of HBM passes).
     """
-    T = prev_h.shape[0]
+    T = cur.shape[0]
     assert T % F == 0, (T, F)
     consts = [jnp.asarray(M8[k]) for k in
               ("WhCp", "WlCp", "WhCc", "WlCc", "WhSp", "WlSp", "WhSc", "WlSc")]
@@ -218,11 +240,12 @@ def enhance_fwd_int8_pallas(prev_h, prev_l, cur_h, cur_l, M8, nyq, w2,
         ),
         grid_spec=pl.GridSpec(
             grid=(T // F,),
-            in_specs=const_specs + [blk, blk, blk, blk],
+            in_specs=const_specs + [blk],
             out_specs=(blk, blk, col, blk, col, col),
+            scratch_shapes=[pltpu.VMEM((1, 512), jnp.int32)],
         ),
         interpret=interpret,
-    )(*consts, prev_h, prev_l, cur_h, cur_l)
+    )(*consts, cur)
 
 
 def _c_short_f32(v):
@@ -320,6 +343,149 @@ def enhance_back_ola3_pallas(re, im, re_n, ns512, ns_n, UC512, VS512, u_nyq,
     return pl.pallas_call(
         _make_back_ola3_kernel(mode, y512n, F),
         out_shape=jax.ShapeDtypeStruct((T, 512), jnp.float32),
+        grid_spec=pl.GridSpec(
+            grid=(T // F,),
+            in_specs=const_specs + [blk, blk, col, blk, col],
+            out_specs=blk,
+            scratch_shapes=[pltpu.VMEM((1, 512), jnp.float32)],
+        ),
+        interpret=interpret,
+    )(*consts, re, im, re_n, ns512, ns_n)
+
+
+def _quant_row_int8(Y):
+    """Per-row 16-bit quantization of a f32 plane into exact int8 hi/lo.
+
+    Z = rint(Y * 32512/rowmax) is integer-valued in [-32512, 32512]
+    (32512 = 127*256: the next integer needs >= 0.5 of f32 error on a
+    2-rounding product, impossible), and Z = 256*h + l + 128 exactly with
+    int8 h, l.  The row scale q = rowmax/32512 factors out of the bin
+    contraction (scales ride the row axis, the GEMM contracts bins), so
+    dequantization is a post-GEMM broadcast multiply.  Quantization noise
+    is ~2^-16 of the row max -- the same error class as the int8 matrix
+    split (ops/dft.int8_col_split)."""
+    m = jnp.max(jnp.abs(Y), axis=1, keepdims=True)
+    ms = jnp.maximum(m, 1e-30)
+    Z = jnp.rint(Y * (32512.0 / ms))
+    h = jnp.floor(Z * (1.0 / 256.0))
+    l = Z - 256.0 * h - 128.0
+    return h.astype(jnp.int8), l.astype(jnp.int8), ms * (1.0 / 32512.0)
+
+
+def _inv_plane8(h, l, Wh, Wl, s1, s2, crow, q):
+    """q * (256h + l + 128) @ (s1*Wh + s2*Wl), dropping the l@Wl cross term
+    (~2^-22 relative).  int32-exact accumulation: |256*(h@Wh) + l@Wh| <=
+    256*512*127*127 + 512*128*127 = 2.139e9 < 2^31-1 (the fwd8 bound)."""
+    z = 256 * _i8dot(h, Wh) + _i8dot(l, Wh)
+    r = 256 * _i8dot(h, Wl)
+    return q * (s1 * z.astype(jnp.float32) + s2 * r.astype(jnp.float32) + crow)
+
+
+def _make_back_ola8_kernel(mode: str, y512n: float, F: int, emit_all: bool):
+    """int8-MXU variant of _make_back_ola3_kernel: the two inverse GEMMs
+    (Yre@UC, Yim@VS) run as int8 dots at 2x the bf16 MAC rate from
+    per-row-quantized data (exact 2xint8 split, scales folded out) and
+    per-column int8-split bases.  Gain, Nyquist rank-1 terms, the y512
+    column, the J lane flip, and the OLA carry are unchanged (the J flip
+    stays a 2-pass bf16 0/1-GEMM: folding it into doubled int8 bases costs
+    3.0 bf16-equivalent passes vs J's 2.0)."""
+    if mode not in ("wiener", "specsub"):
+        raise ValueError(mode)
+
+    def kernel(Uh, Ul, Vh, Vl, sv, cr, unyq, ycol, J, re_ref, im_ref, ren_ref,
+               ns_ref, nsn_ref, out_ref, ctail):
+        pid = pl.program_id(0)
+
+        @pl.when(pid == 0)
+        def _():
+            ctail[...] = jnp.zeros_like(ctail)
+
+        re = re_ref[...]
+        im = im_ref[...]
+        ns512 = ns_ref[...]
+        ren = ren_ref[...]
+        nsn = nsn_ref[...]
+        if mode == "wiener":
+            P = re * re + im * im
+            v = ns512 * ns512 / P
+            g = 1.0 - jnp.where(v >= 1.0, 1.0, v)
+            vn = nsn * nsn / (ren * ren)
+            gn = 1.0 - jnp.where(vn >= 1.0, 1.0, vn)
+        else:
+            mag = jnp.sqrt(re * re + im * im)
+            g = (mag - ns512) / mag
+            magn = jnp.abs(ren)
+            gn = (magn - nsn) / magn
+        Yre = re * g
+        Yim = im * g
+        Yren = ren * gn
+        hre, lre, qre = _quant_row_int8(Yre)
+        him, lim, qim = _quant_row_int8(Yim)
+        u = _inv_plane8(hre, lre, Uh[...], Ul[...], sv[0:1], sv[1:2], cr[0:1], qre)
+        u = u + Yren * unyq[...]
+        vv = _inv_plane8(him, lim, Vh[...], Vl[...], sv[2:3], sv[3:4], cr[1:2], qim)
+        head = u - vv
+        w2 = u + vv
+        doth = lambda a, b: jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        y512 = doth(Yre, ycol[...]) + Yren * y512n
+        w2h = w2.astype(jnp.bfloat16).astype(jnp.float32)
+        w2l = w2 - w2h
+        d1 = lambda x, y: jax.lax.dot_general(
+            x, y, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        rows = jax.lax.broadcasted_iota(jnp.int32, (F, 1), 0)
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (F, 512), 1)
+        tail = d1(w2h, J[...]) + d1(w2l, J[...])
+        tail = jnp.where(lanes == 0, y512, tail)
+        tail_prev = jnp.where(rows == 0, ctail[...], pltpu.roll(tail, 1, 0))
+        ctail[...] = tail[F - 1 :, :]
+        gidx = rows + pid * F
+        acc = head + tail_prev * (gidx >= 2).astype(jnp.float32)
+        val = _c_short_f32(acc * (gidx >= 1).astype(jnp.float32))
+        if not emit_all:  # fold the t<2 warm-up mask + int16 store in-kernel
+            val = val * (gidx >= 2).astype(jnp.float32)
+        out_ref[...] = val.astype(jnp.int32).astype(jnp.int16)
+
+    return kernel
+
+
+def enhance_back_ola8_pallas(re, im, re_n, ns512, ns_n, M8B, u_nyq, y512col,
+                             Jflip, mode: str = "wiener", F: int = 512,
+                             emit_all: bool = False, interpret: bool = False):
+    """int8-MXU gain + inverse + in-kernel flip/OLA/c_short.
+
+    M8B: dict from ops.enhance._dft_mats_int8_back -- int8 splits of
+    UC512/VS512 with per-column scales and folded +128-shift rows.
+    Same contract as :func:`enhance_back_ola3_pallas` except the output is
+    int16 with the c_short truncation AND the t<2 warm-up mask (unless
+    ``emit_all``) applied in-kernel -- the XLA-side cast+where passes cost
+    ~0.1 ms of HBM traffic per 16384-block batch.  Fidelity is bounded by
+    the ~2^-16 row quantization + matrix-split error (per-engine SNR
+    floors pinned in tests/test_engine_matrix.py)."""
+    T = re.shape[0]
+    assert T % F == 0, (T, F)
+    ycol = jnp.asarray(y512col[:512], jnp.float32).reshape(512, 1)
+    y512n = float(y512col[512])
+    consts = [
+        jnp.asarray(M8B["Uh"]), jnp.asarray(M8B["Ul"]),
+        jnp.asarray(M8B["Vh"]), jnp.asarray(M8B["Vl"]),
+        jnp.asarray(M8B["scales"]),  # (4, 512) f32: s1U, s2U, s1V, s2V
+        jnp.asarray(M8B["crows"]),   # (2, 512) f32: U, V +128-shift rows
+        jnp.asarray(u_nyq, jnp.float32).reshape(1, 512), ycol,
+        jnp.asarray(Jflip, jnp.float32),
+    ]
+    const_specs = [
+        pl.BlockSpec(c.shape, lambda i: (0,) * c.ndim, memory_space=pltpu.VMEM)
+        for c in consts
+    ]
+    blk = pl.BlockSpec((F, 512), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    col = pl.BlockSpec((F, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _make_back_ola8_kernel(mode, y512n, F, emit_all),
+        out_shape=jax.ShapeDtypeStruct((T, 512), jnp.int16),
         grid_spec=pl.GridSpec(
             grid=(T // F,),
             in_specs=const_specs + [blk, blk, col, blk, col],

@@ -214,6 +214,9 @@ def _noise_latch_parts(speech, planes, chunk: int = 64):
         b_el = p[:, -1, None] * S[:, -1]
         _, Bc = jax.lax.associative_scan(comb, (a_el, b_el))
         A0s = jnp.concatenate([jnp.zeros((1, nb), dtype), Bc[:-1]], axis=0)
+        # note (r4): gathering p/A0s/S per latch row instead of materializing
+        # A measured SLOWER (three take_along_axis lower worse than one dense
+        # fused elementwise + one gather) -- keep the dense form
         A = p[..., None] * (A0s[:, None, :] + S)  # (T/L, L, nb)
         A = A.reshape(Tp, nb)
         ns = jnp.where(
@@ -385,16 +388,36 @@ def _dft_mats_int8():
     return out
 
 
-def _split_int8(bp):
-    """(T, 512) int16 -> exact int8 hi/lo planes: x = 256*h + l + 128."""
-    xi = bp.astype(jnp.int32)
-    xh = jnp.right_shift(xi, 8)  # floor(x/256), arithmetic shift
-    xl = xi - 256 * xh - 128
-    return xh.astype(jnp.int8), xl.astype(jnp.int8)
+@functools.lru_cache(maxsize=None)
+def _dft_mats_int8_back():
+    """Per-column int8 splits of the symmetry-halved INVERSE bases.
+
+    Same scheme as :func:`_dft_mats_int8` but for UC512/VS512; the data
+    side (the gained spectra) is quantized per row IN the kernel
+    (kernels/enhance_pallas._quant_row_int8) since it is computed there.
+    crows folds the +128 data shift per basis: 128*(s1*colsum(Wh) +
+    s2*colsum(Wl)), computed in f64."""
+    from jeicyboodsp_tpu.ops.dft import int8_col_split as split
+
+    M = _dft_mats_aligned()
+    out = {}
+    scales = []
+    crows = []
+    for name, W in (("U", M["UC512"]), ("V", M["VS512"])):
+        Wh, Wl, s1, s2 = split(W)
+        out[f"{name}h"], out[f"{name}l"] = Wh, Wl
+        scales += [s1.astype(np.float32), s2.astype(np.float32)]
+        crows.append(
+            (128.0 * (s1 * Wh.astype(np.int64).sum(0)
+                      + s2 * Wl.astype(np.int64).sum(0))).astype(np.float32)
+        )
+    out["scales"] = np.stack(scales)  # (4, 512): s1U, s2U, s1V, s2V
+    out["crows"] = np.stack(crows)    # (2, 512)
+    return out
 
 
 def _enhance_fused3(blocks, mode, emit_all, interpret=False, F: int = 256,
-                    int8_fwd: bool = False):
+                    int8_fwd: bool = False, int8_back: bool = False):
     """Fused fast path v3 (the default TPU mxu3 path): u/vv contractions as
     in _enhance_fused, but the OLA (lane flip + shift + add + c_short)
     stays in-kernel via an exact 2-pass permutation GEMM (see
@@ -419,14 +442,10 @@ def _enhance_fused3(blocks, mode, emit_all, interpret=False, F: int = 256,
     if int8_fwd:
         # the fwd GEMM operands are raw int16 blocks (window folded into the
         # bases), so the data side splits EXACTLY into int8 -- 2x MAC rate
-        # (measured fwd 0.284 vs 0.733 ms at T=16384, 91 dB per plane)
-        cur_h, cur_l = _split_int8(bp)
-        prev_h = jnp.concatenate([jnp.zeros((1, BLOCK_LEN), jnp.int8), cur_h[:-1]], axis=0)
-        prev_l = jnp.concatenate(  # a zero block is h=0, l=-128 (+128 shift)
-            [jnp.full((1, BLOCK_LEN), -128, jnp.int8), cur_l[:-1]], axis=0)
+        # (measured fwd 0.284 vs 0.733 ms at T=16384, 91 dB per plane); the
+        # split AND the prev-row shift happen in VMEM (r4)
         re, im, re_n, mag512, mag_n, sp = EP.enhance_fwd_int8_pallas(
-            prev_h, prev_l, cur_h, cur_l, _dft_mats_int8(), M["nyq"], M["w2"],
-            F=F, interpret=interpret,
+            bp, _dft_mats_int8(), M["nyq"], M["w2"], F=F, interpret=interpret,
         )
     else:
         prev = jnp.concatenate([jnp.zeros((1, BLOCK_LEN), bp.dtype), bp[:-1]], axis=0)
@@ -435,13 +454,25 @@ def _enhance_fused3(blocks, mode, emit_all, interpret=False, F: int = 256,
         )
     speech = sp[:, 0] > 0.5  # in-kernel VAD (vad_flags semantics)
     ns512, ns_n = _noise_latch_parts(speech, (mag512, mag_n))
+    write_mask = jnp.arange(T) >= 2
+    if int8_back:
+        # inverse GEMMs at the int8 MAC rate: the gained spectra quantize
+        # per row in-kernel (~2^-16 of rowmax -- same error class as the
+        # matrix split; the log-amplification argument that killed int8
+        # MFCC does not apply to this linear inverse).  int16 + warm-up
+        # mask come straight out of the kernel.
+        out_i = EP.enhance_back_ola8_pallas(
+            re, im, re_n, ns512, ns_n,
+            _dft_mats_int8_back(), M["u_nyq"], M["y512col"], J,
+            mode=mode, F=F, emit_all=emit_all, interpret=interpret,
+        )
+        return out_i[:T], write_mask
     out_f = EP.enhance_back_ola3_pallas(
         re, im, re_n, ns512, ns_n,
         M["UC512"], M["VS512"], M["u_nyq"], M["y512col"], J,
         mode=mode, F=F, interpret=interpret,
     )
     out = out_f[:T].astype(jnp.int16)
-    write_mask = jnp.arange(T) >= 2
     if not emit_all:
         out = jnp.where(write_mask[:, None], out, 0)
     return out, write_mask
@@ -504,8 +535,11 @@ def _enhance_fast_mxu(blocks, mode, dtype, precision, emit_all, int8_fwd=False):
         # -- equals _enhance_fused to +-1 truncation flips, measured +7%
         # (interleaved min-of-2x51 runs: 5.16-5.63 vs 4.87-5.05 G samples/s);
         # int8_fwd (engine mxu8) additionally runs the forward rDFT as
-        # exact-int8-split GEMMs at 2x MAC rate
-        return _enhance_fused3(blocks, mode, emit_all, F=512, int8_fwd=int8_fwd)
+        # exact-int8-split GEMMs at 2x MAC rate, and the back half's inverse
+        # GEMMs from per-row-quantized spectra (int8_back)
+        return _enhance_fused3(
+            blocks, mode, emit_all, F=512, int8_fwd=int8_fwd, int8_back=int8_fwd
+        )
     T = blocks.shape[0]
     M = _dft_mats_aligned()
     WC, WS = jnp.asarray(M["WC"], dtype), jnp.asarray(M["WS"], dtype)

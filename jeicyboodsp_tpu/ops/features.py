@@ -299,16 +299,25 @@ def pitch_frames(frames, method: int = 1, dtype=jnp.float64, fft_engine: str = "
     elif method == 3 and fft_engine.startswith("mxu"):
         # linear autocorrelation == Wiener-Khinchin on the zero-padded frame:
         # rdft(2048) -> power -> one cosine matmul; exact same sums as the
-        # masked time-domain loop, ~100x less HBM traffic than 511 rolls
+        # masked time-domain loop, ~100x less HBM traffic than 511 rolls.
+        # r4: the padded frame is [u, 0], so the 2048-pt rdft contracts over
+        # the 1024 REAL samples only (the zero half contributes exactly
+        # nothing) -- u @ C[:1024] with 1024x1024 MXU-aligned bases, the
+        # 1025th (Nyquist) bin split out as rank-1 terms (the enhance-chain
+        # alignment trick).  Halves the forward GEMM FLOPs and removes the
+        # 1025-column lane padding; values are bit-identical (same sums).
         from jeicyboodsp_tpu.ops import dft as mdft
 
         prec = jax.lax.Precision.HIGHEST  # argmax over near-ties, see above
         n = _PITCH_PROC
-        up = jnp.concatenate([u, jnp.zeros_like(u)], axis=1)  # (T, 2048)
-        re, im = mdft.rdft(up, precision=prec)
-        ac = mdft.autocorr_from_half_power(
-            re ** 2 + im ** 2, 2 * n, _PITCH_BLOCK, precision=prec
-        )
+        C, S = mdft._rdft_mats(2 * n)  # (2048, 1025) host constants
+        re = jnp.dot(u, jnp.asarray(C[:n, :n]), precision=prec)
+        im = jnp.dot(u, jnp.asarray(S[:n, :n]), precision=prec)
+        re_n = jnp.dot(u, jnp.asarray(C[:n, n]), precision=prec)
+        im_n = jnp.dot(u, jnp.asarray(S[:n, n]), precision=prec)
+        A = mdft._autocorr_mats(2 * n, _PITCH_BLOCK)  # (1025, 512)
+        ac = jnp.dot(re ** 2 + im ** 2, jnp.asarray(A[:n]), precision=prec)
+        ac = ac + (re_n ** 2 + im_n ** 2)[:, None] * jnp.asarray(A[n])
         ac = ac / (n - jnp.arange(_PITCH_BLOCK)).astype(dtype)
         arg, val = _pick(ac, True)
     else:

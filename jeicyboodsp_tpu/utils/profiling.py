@@ -80,12 +80,37 @@ def enhance_mxu3_roofline(block=512, fft=1024, passes=3) -> Roofline:
     return Roofline(flops, bytes_, block, unit="mxu")
 
 
+def enhance_mxu8_roofline(block=512, fft=1024) -> Roofline:
+    """Full-int8 fused engine (mxu8), per block.  MXU (bf16-equivalent; int8
+    dots count 0.5x): fwd 2 planes x 2 parts x 3 dots x 512x512 int8-MACs =
+    1.57 M equiv; inverse 2 planes x 3 dots = 0.79 M; J lane-flip 2 bf16
+    passes = 0.52 M -> ~2.9 M equiv-MACs = 5.8 M hw flops/block ~= 15 ns.
+    HBM (the binding side): fwd reads the int16 block and writes re/im/mag
+    f32 planes (10 KB); the closed-form latch makes ~5 passes over the mag/
+    intermediate/ns planes (10 KB); the back kernel reads re/im/ns (6 KB)
+    and writes int16 out (1 KB) -> ~27 KB/block ~= 33 ns.  The engine is
+    MEMORY-bound: the int8 MACs moved the compute floor below the plane
+    traffic (obsoleting r3's "GEMM floor" argument for the bf16x3 engine)."""
+    macs_equiv = 0.5 * (12 + 6) * 512 * 512 + 2 * 512 * 512
+    flops = 2 * macs_equiv
+    bytes_ = block * 2 + 3 * fft // 2 * 4 * 2 + 5 * fft // 2 * 4 * 2 + 3 * 512 * 4 + block * 2
+    return Roofline(flops, bytes_, block, unit="mxu")
+
+
 def fastconv_roofline(block=1024, fft=8192, dtype_bytes=4) -> Roofline:
     """Tiled XLA-rfft dense path (VPU vector FFT)."""
     nlog = fft * np.log2(fft)
     flops = 2 * 5 * nlog + 8 * fft
     bytes_ = 6 * fft * dtype_bytes
     return Roofline(flops, bytes_, block, unit="vpu")
+
+
+def fastconv_gemm8_roofline(block=1024, seg=8192, batch=2048) -> Roofline:
+    """int8 Toeplitz engine: 4 s8xs8 dots (= 2.0 bf16-equivalent passes) of
+    (T,8192)@(8192,1024) per hop; HBM as the f32 GEMM but int8 segments."""
+    flops = 2 * 2 * seg * block  # bf16-equivalent
+    bytes_ = (seg + block) * 2 + 2 * seg * block * 1 / batch
+    return Roofline(flops, bytes_, block, unit="mxu")
 
 
 def fastconv_gemm_roofline(block=1024, seg=8192, passes=3, batch=2048) -> Roofline:

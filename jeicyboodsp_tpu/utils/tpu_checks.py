@@ -92,7 +92,34 @@ def run_checks() -> dict:
     err = want_w - got_w
     snr = 10 * np.log10(np.sum(want_w**2) / max(np.sum(err**2), 1e-30))
     results["enhance_mxu3_snr_db"] = round(float(snr), 1)
-    results["enhance_mxu3_snr_ok"] = bool(snr >= 60.0)
+    results["enhance_mxu3_snr_ok"] = bool(snr >= 85.0)
+
+    # --- mxu8 (int8 fwd + int8 back) engine: documented floor 65 dB ---
+    # (per-engine fidelity contract, tests/test_engine_matrix.py; measured
+    # ~69-73 dB -- the int8 matrix splits + per-row spectrum quantization
+    # are each ~2^-16, amplified through the Wiener gain nonlinearity)
+    out8, mask8 = enhance_blocks(
+        jnp.asarray(probe.reshape(T, 512)), mode="wiener", dtype=jnp.float32,
+        use_assoc_scan=True, real_fft=True, resynth="ratio", fft_engine="mxu8",
+    )
+    got_8 = np.asarray(out8)[np.asarray(mask8)].reshape(-1).astype(np.float64)
+    err8 = want_w - got_8
+    snr8 = 10 * np.log10(np.sum(want_w**2) / max(np.sum(err8**2), 1e-30))
+    results["enhance_mxu8_snr_db"] = round(float(snr8), 1)
+    results["enhance_mxu8_snr_ok"] = bool(snr8 >= 65.0)
+
+    # --- mxu1 exclusion guard: 1-pass bf16 is documented BELOW the 60 dB
+    # compat bar (ops/dft.py) and therefore not CLI-reachable; if this ever
+    # flips >= 60 the docs/CLI exclusion needs revisiting, so flag it ---
+    out1, mask1 = enhance_blocks(
+        jnp.asarray(probe.reshape(T, 512)), mode="wiener", dtype=jnp.float32,
+        use_assoc_scan=True, real_fft=True, resynth="ratio", fft_engine="mxu1",
+    )
+    got_1 = np.asarray(out1)[np.asarray(mask1)].reshape(-1).astype(np.float64)
+    err1 = want_w - got_1
+    snr1 = 10 * np.log10(np.sum(want_w**2) / max(np.sum(err1**2), 1e-30))
+    results["enhance_mxu1_snr_db"] = round(float(snr1), 1)
+    results["mxu1_below_bar"] = bool(snr1 < 60.0)
 
     # --- MVDR theta=0 structural collapse: +-1 LSB vs the f64 oracle ---
     # The 29x-win path (ops/mvdr.py collapse branch) rests on a Parseval

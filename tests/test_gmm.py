@@ -384,3 +384,23 @@ def test_viterbi_corrected_backtrace_is_optimal():
         jnp.asarray(trans), compat=False,
     )
     np.testing.assert_array_equal(np.asarray(paths)[0], path)
+
+
+def test_viterbi_assoc_matches_sequential():
+    """The O(log T) max-plus associative-scan decode (viterbi_assoc) equals
+    the sequential corrected decode: same path (generic float emissions have
+    no ties) and same score up to max-plus association rounding."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(99)
+    for T in (1, 2, 5, 64, 301):
+        alpha6 = jnp.asarray(rng.dirichlet(np.ones(4), 6).astype(np.float32))
+        mean6 = jnp.asarray(rng.normal(0, 1, (6, 4, 12)).astype(np.float32))
+        cov6 = jnp.broadcast_to(jnp.eye(12, dtype=jnp.float32), (6, 4, 12, 12)) * 1.5
+        ev6 = jnp.broadcast_to(jnp.eye(12, dtype=jnp.float32)[:, :4], (6, 4, 12, 4))
+        trans = jnp.asarray(rng.dirichlet(np.ones(6), 6).astype(np.float32))
+        feats = jnp.asarray(rng.normal(0, 1.0, (T, 12)).astype(np.float32))
+        p_seq, s_seq = mhmm.viterbi(feats, alpha6, mean6, cov6, ev6, trans, compat=False)
+        p_as, s_as = mhmm.viterbi_assoc(feats, alpha6, mean6, cov6, ev6, trans)
+        np.testing.assert_array_equal(np.asarray(p_as), np.asarray(p_seq))
+        np.testing.assert_allclose(float(s_as), float(s_seq), rtol=1e-5, atol=1e-2)
