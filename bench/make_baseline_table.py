@@ -58,9 +58,13 @@ def render(results: dict) -> str:
         rows.append((config, tpu, pct, speed, fidelity))
 
     v = r["enhance_wiener"]
-    add("Wiener enhancement (headline)", v, _g(v["tpu_sps"]), _pct(v), _x(v), _snr(v))
+    add("Wiener enhancement (headline, full-int8 mxu8)", v, _g(v["tpu_sps"]), _pct(v), _x(v), _snr(v))
+    if v.get("tpu_sps_mxu3"):
+        add("Wiener enhancement (bf16x3 mxu3 engine)", v, _g(v["tpu_sps_mxu3"]),
+            _pct(v, "_mxu3"), f"{v['tpu_sps_mxu3'] / v['cpp_sps']:.0f}x",
+            _snr(v, "snr_db_mxu3"))
     v = r["enhance_specsub"]
-    add("Spectral subtraction", v, _g(v["tpu_sps"]), _pct(v), _x(v), _snr(v))
+    add("Spectral subtraction (mxu8)", v, _g(v["tpu_sps"]), _pct(v), _x(v), _snr(v))
     v = r["geq"]
     add("7-band GEQ, fast linear", v, _g(v["tpu_sps"]), _pct(v), _x(v),
         f"{v['snr_db_fast_vs_ref']:.1f} dB BY DESIGN (no int16 requant)")
@@ -72,9 +76,13 @@ def render(results: dict) -> str:
     add("Fast conv, sparse direct (70-tap RIR)", v, _g(v["tpu_sps_sparse"]),
         _pct(v, "_sparse"), f"{v['tpu_sps_sparse'] / v['cpp_sps']:.0f}x",
         _snr(v, "snr_db_sparse"))
-    add("Fast conv, Toeplitz GEMM (general dense engine)", v, _g(v["tpu_sps_gemm"]),
+    add("Fast conv, Toeplitz GEMM (the --fast default engine)", v, _g(v["tpu_sps_gemm"]),
         _pct(v, "_gemm"), f"{v['tpu_sps_gemm'] / v['cpp_sps']:.0f}x",
         _snr(v, "snr_db_gemm"))
+    if v.get("tpu_sps_gemm8"):
+        add("Fast conv, int8 Toeplitz GEMM (gemm8)", v, _g(v["tpu_sps_gemm8"]),
+            _pct(v, "_gemm8"), f"{v['tpu_sps_gemm8'] / v['cpp_sps']:.0f}x",
+            _snr(v, "snr_db_gemm8"))
     v = r["nlms_pallas"]
     add("Per-sample NLMS (1024 streams, df32 Pallas)", v, _g(v["tpu_sps"]), _pct(v), _x(v),
         "bit-exact" if v.get("kernel_exact_vs_oracle") else "NOT EXACT")
@@ -113,12 +121,38 @@ def render(results: dict) -> str:
     sp = r["speech_pipeline"]
     lines += [
         "",
-        f"Viterbi decode: {vd['frames_per_s'] / 1e6:.2f} M frames/s single-utterance, "
+        f"Viterbi decode vs the compiled reference "
+        f"({vd['cpp_sps'] / 1e3:.1f} k frames/s single-core): "
+        f"{vd['frames_per_s_assoc'] / 1e6:.1f} M frames/s single-utterance "
+        f"(O(log T) max-plus associative scan, {_x(vd)}), "
+        f"{vd['frames_per_s'] / 1e6:.2f} M frames/s sequential-scan form, "
         f"{vb['frames_per_s'] / 1e6:.1f} M frames/s batched over {vb['utterances']} "
-        "utterances (exact vs oracle / per-utterance decode).",
+        f"utterances ({_x(vb)}).",
+        f"GMM train (seed+kmeans+3xEM+PCA8, 25 classes batched): "
+        f"{r['gmm_train']['tpu_sps'] / 1e6:.2f} M frames/s vs "
+        f"{r['gmm_train']['cpp_sps'] / 1e3:.2f} k single-core C++ "
+        f"({_x(r['gmm_train'])}; the reference's per-frame-per-mixture "
+        f"eigendecomposition hot loop).  GMM classify: "
+        f"{r['gmm_test']['tpu_sps'] / 1e6:.1f} M frames/s vs "
+        f"{r['gmm_test']['cpp_sps'] / 1e3:.1f} k ({_x(r['gmm_test'])}).",
         f"Speech pipeline e2e: train 25 classes x 128 frames in "
         f"{sp['train_s_25cls_x_128frames'] * 1e3:.1f} ms, classify "
         f"{sp['classify_s_per_utterance'] * 1e3:.1f} ms/utterance, single jit.",
+    ]
+    if r.get("latency"):
+        lt = r["latency"]
+        lines += [
+            f"Real-time block latency (on-device, chained single-block streaming "
+            f"steps; the ~{lt['dispatch_floor_ms']:.0f} ms tunnel dispatch floor "
+            f"per host call amortizes out and is excluded): "
+            f"enhance {lt['enhance_block_us']:.0f} us/512-sample block "
+            f"({lt['enhance_blocks_per_32ms_budget']:.0f} blocks per 32 ms budget), "
+            f"GEQ df32 {lt['geq_block_us']:.0f} us/block "
+            f"({lt['geq_blocks_per_10p67ms_budget']:.0f} per 10.7 ms budget), "
+            f"BNLMS {lt['bnlms_block_us']:.0f} us/1024-sample block "
+            f"({lt['bnlms_blocks_per_64ms_budget']:.0f} per 64 ms budget).",
+        ]
+    lines += [
         "",
         "C++ baselines are median-of-5 single-core runs (raw per-run samples in"
         " `bench/results.json` `cpp_raw_sps`); each row's ratio uses its same-run"

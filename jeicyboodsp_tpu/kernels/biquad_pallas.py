@@ -36,7 +36,14 @@ TILE_T = 512
 
 def _kernel(coef_ref, x_ref, out_ref, state):
     """coef: (7, 8); x/out tile: (TILE_T, 8, 128) = 1024 streams per step;
-    state: (14, 8, 128) scratch."""
+    state: (14, 8, 128) scratch.
+
+    r4: the per-sample body is ~63 short VPU ops on (8, 128) tiles, so
+    fori_loop overhead dominated (measured 32% of the issue roof).  Same
+    medicine as the BNLMS kernel: hoist the coefficient scalars out of the
+    loop (one VMEM load each instead of per-step) and unroll 4 samples per
+    iteration at trace level (Mosaic only lowers unroll=1-or-full).  The
+    state rows carry through registers across the unrolled sub-steps."""
     t_idx = pl.program_id(1)
 
     @pl.when(t_idx == 0)
@@ -44,25 +51,23 @@ def _kernel(coef_ref, x_ref, out_ref, state):
         state[:, :, :] = jnp.zeros_like(state)
 
     T = x_ref.shape[1]  # block is (1, TILE_T, 8, 128)
+    cc = coef_ref[...]  # hoisted: (7, 8) scalar table
 
-    def step(t, _):
-        v = x_ref[0, t]
-        for k in range(BANDS):
-            b0 = coef_ref[k, 0]
-            b1 = coef_ref[k, 1]
-            b2 = coef_ref[k, 2]
-            a1 = coef_ref[k, 3]
-            a2 = coef_ref[k, 4]
-            s1 = state[2 * k]
-            s2 = state[2 * k + 1]
-            y = b0 * v + s1
-            state[2 * k] = b1 * v - a1 * y + s2
-            state[2 * k + 1] = b2 * v - a2 * y
-            v = y
-        out_ref[0, t] = v
+    def step4(t4, _):
+        s = [state[r] for r in range(2 * BANDS)]
+        for dt in range(4):
+            v = x_ref[0, t4 * 4 + dt]
+            for k in range(BANDS):
+                y = cc[k, 0] * v + s[2 * k]
+                s[2 * k] = cc[k, 1] * v - cc[k, 3] * y + s[2 * k + 1]
+                s[2 * k + 1] = cc[k, 2] * v - cc[k, 4] * y
+                v = y
+            out_ref[0, t4 * 4 + dt] = v
+        for r in range(2 * BANDS):
+            state[r] = s[r]
         return 0
 
-    jax.lax.fori_loop(0, T, step, 0)
+    jax.lax.fori_loop(0, T // 4, step4, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

@@ -123,10 +123,17 @@ def fastconv_gemm_roofline(block=1024, seg=8192, passes=3, batch=2048) -> Roofli
 
 
 def fastconv_sparse_roofline(block=1024, taps=70) -> Roofline:
-    """Sparse direct path: 70 static scaled slices, 2 VPU ops per
-    (tap, sample) + the scatter adds; int16 read + write."""
+    """Sparse direct path as implemented: a chain of 70 ``y += c * slice``
+    updates over the flat signal.  XLA materializes the accumulator between
+    slice-adds (each tap has a different shift, so the chain does not fuse
+    into one window read), so the op is MEMORY-bound on ~3 f32 words per
+    (tap, sample): slice read + y read + y write.  The r1-r3 record modeled
+    only the 3 VPU ops/(tap,sample) compute -- a 17.6 G "roof" the memory
+    traffic can never reach (the measured 0.97 G is ~99% of THIS roof,
+    which is the honest statement: the path is at its bandwidth ceiling;
+    going faster means fewer passes, i.e. the GEMM engines)."""
     flops = 3 * taps * block
-    bytes_ = 2 * block * 2 + block * 4
+    bytes_ = taps * 3 * block * 4
     return Roofline(flops, bytes_, block, unit="vpu")
 
 
@@ -232,3 +239,44 @@ def wk_pitch_roofline(block=512, proc=1024, pad=1, passes=6) -> Roofline:
     flops = passes * 2 * macs
     bytes_ = (proc + block) * 4
     return Roofline(flops, bytes_, block, unit="mxu")
+
+
+def wk_pitch3_roofline(block=512, proc=1024, passes=6) -> Roofline:
+    """Method 3 as implemented since r4: the zero-padded 2048-pt rdft
+    contracts over the 1024 REAL samples only (the zero half contributes
+    nothing), with 1024x1024 aligned bases + rank-1 Nyquist terms, then a
+    1024x512 power->autocorrelation matmul.  Half the forward FLOPs of the
+    padded-contraction model (wk_pitch_roofline(pad=2))."""
+    nbins = proc  # 1024 aligned bins (Nyquist split out as rank-1)
+    macs = 2 * proc * nbins + nbins * block
+    flops = passes * 2 * macs
+    bytes_ = (proc + block) * 4
+    return Roofline(flops, bytes_, block, unit="mxu")
+
+
+def fft_roundtrip_roofline(block=512) -> Roofline:
+    """Reference-parity FFT roundtrip row (ops/fft.roundtrip_blocks,
+    engine "xla"): one complex fft + ifft per 512-sample block on the VPU
+    (2 x 5 n log2 n vector flops) with the spectrum materialized between
+    them (int16 in/out + complex spectrum write/read + f32 inverse).  The
+    XLA FFT's internal stage passes are opaque to this model, so the row
+    reads low against it; the TUNED transforms in this framework are the
+    matmul-DFT engines (enhance/mfcc/pitch rows) -- this row exists for
+    program parity (FFTAlgorithm_ver2), not as a kernel showcase."""
+    nlog = block * np.log2(block)
+    flops = 2 * 5 * nlog
+    bytes_ = block * (2 + 2 + 8 + 8 + 4 + 4)
+    return Roofline(flops, bytes_, block, unit="vpu")
+
+
+def bnlms_xla_roofline(taps=128) -> Roofline:
+    """The 16-session vmapped XLA BNLMS variant (ops/nlms.bnlms_apply): per
+    sample per stream the (1024, 128) Toeplitz window W is materialized and
+    read back by the estimate matmul, the norm reduction, and the gradient
+    matmul -- ~3 f32 passes over 128 taps/sample of window traffic, which
+    is the binding side (the MXU matmuls and the rfft double-talk gate hide
+    under it).  The df32 Pallas kernel row (bnlms_pallas) is the tuned
+    path; this row exists as the pure-XLA reference point."""
+    flops = 6 * taps  # estimate + norm + gradient MACs, 2 flops each
+    bytes_ = 3 * taps * 4
+    return Roofline(flops, bytes_, 1, unit="vpu")

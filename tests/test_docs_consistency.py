@@ -48,6 +48,29 @@ def test_roofline_annotations_match_models():
                 )
 
 
+def test_bench_record_matches_head_tree():
+    """Artifact<->code staleness (VERDICT r3 weak-1): results.json carries a
+    content-hash stamp of every perf-determining file at bench time; if any
+    of those files changed since, the record is stale and this fails --
+    re-run `python bench/all_configs.py` (or the affected rows) and
+    `python bench/make_baseline_table.py --write`."""
+    from all_configs import tree_stamp
+
+    stamp = _results().get("_benched_tree")
+    assert stamp, (
+        "results.json lacks the _benched_tree stamp: regenerate it with "
+        "`python bench/all_configs.py`"
+    )
+    current = tree_stamp()
+    stale = sorted(
+        p for p in set(stamp) | set(current) if stamp.get(p) != current.get(p)
+    )
+    assert not stale, (
+        f"bench record is stale: {stale} changed since the last bench run; "
+        "re-run the affected rows of bench/all_configs.py"
+    )
+
+
 def test_every_config_meets_north_star():
     """The BASELINE.json targets hold on the committed artifact: every
     reference-comparable row >=60 dB and >100x single-core C++."""
