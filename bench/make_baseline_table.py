@@ -76,11 +76,12 @@ def render(results: dict) -> str:
     add("Fast conv, sparse direct (70-tap RIR)", v, _g(v["tpu_sps_sparse"]),
         _pct(v, "_sparse"), f"{v['tpu_sps_sparse'] / v['cpp_sps']:.0f}x",
         _snr(v, "snr_db_sparse"))
-    add("Fast conv, Toeplitz GEMM (the --fast default engine)", v, _g(v["tpu_sps_gemm"]),
+    add("Fast conv, f32 Toeplitz GEMM", v, _g(v["tpu_sps_gemm"]),
         _pct(v, "_gemm"), f"{v['tpu_sps_gemm'] / v['cpp_sps']:.0f}x",
         _snr(v, "snr_db_gemm"))
     if v.get("tpu_sps_gemm8"):
-        add("Fast conv, int8 Toeplitz GEMM (gemm8)", v, _g(v["tpu_sps_gemm8"]),
+        add("Fast conv, int8 Toeplitz GEMM (the --fast default engine)", v,
+            _g(v["tpu_sps_gemm8"]),
             _pct(v, "_gemm8"), f"{v['tpu_sps_gemm8'] / v['cpp_sps']:.0f}x",
             _snr(v, "snr_db_gemm8"))
     v = r["nlms_pallas"]

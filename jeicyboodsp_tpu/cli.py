@@ -47,8 +47,9 @@ def main(argv=None):
         help="FFT engine for --fast pipelines that support it "
         "(mxu3 = 3-pass MXU matmul DFT; "
         "mxu8 = enhance-only full-int8 fused kernels, 2x MAC rate, ~70 dB; "
-        "gemm = fastconv-only banded-Toeplitz GEMM, no spectral round-trip; "
-        "gemm8 = the int8-MXU Toeplitz GEMM, ~77 dB)",
+        "gemm = fastconv-only f32 banded-Toeplitz GEMM, no spectral "
+        "round-trip; gemm8 = the int8-MXU Toeplitz GEMM, ~77 dB -- the "
+        "fastconv --fast default)",
     )
     parser.add_argument(
         "--verbose",

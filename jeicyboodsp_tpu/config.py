@@ -31,13 +31,13 @@ ENGINE_FIDELITY = {
         floor=None, typ=52.0, note="1-pass bf16: BELOW the 60 dB bar; "
         "excluded from the CLI (guarded by tpu_checks mxu1_below_bar)",
     ),
-    # fastconv
+    # fastconv (--fast default engine: gemm8)
     ("fastconv", "xla"): dict(floor=88.0, typ=96.6, note="tiled rfft"),
     ("fastconv", "gemm"): dict(floor=95.0, typ=107.0, note="f32 Toeplitz GEMM"),
     ("fastconv", "gemm8"): dict(
         floor=70.0, typ=76.6,
-        note="int8 Toeplitz GEMM (4-dot): bounded by the operator-split "
-             "residual -- the sparse RIR concentrates it",
+        note="int8 Toeplitz GEMM (4-dot), the --fast default: bounded by "
+             "the operator-split residual -- the sparse RIR concentrates it",
     ),
     # mvdr / mfcc (engine changes only the DFT GEMM passes)
     ("mvdr", "mxu3"): dict(floor=80.0, typ=90.0, note="theta=0 collapse is exact"),

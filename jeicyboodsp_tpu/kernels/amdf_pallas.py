@@ -34,8 +34,10 @@ Round-3 shape of the lag loop (measured on v5e, T=16384, kernel-only):
   pitch path passes lo=96 (largest multiple of 8 below 101), skipping ~19%
   of the work; lo=0 keeps the full AMDF surface for tests/consumers.
 
-Net: 654 -> 1521 M samples/s kernel-only (2.3x), ~101% of the 3-op/elem
-VPU roofline (utils/profiling.amdf_roofline).
+Net: 654 -> 1521 M samples/s kernel-only (2.3x); the r4 record reads
+1.82 G at ~82% of the 2-op/elem VPU roofline (utils/profiling.
+amdf_roofline: subtract+abs issue as one fused op -- the earlier 3-op
+count put the kernel impossibly above 100%).
 """
 
 from __future__ import annotations

@@ -233,12 +233,12 @@ def run_stream(x, dtype=jnp.float64, real_fft=False, fft_engine: str = "auto"):
 
     ``fft_engine="auto"`` picks the best engine for the dtype: the f64
     compat path keeps the XLA FFT (bit-level fidelity vs the oracle); the
-    f32 fast path defaults to the Toeplitz-GEMM engine -- the fastest
-    >= 85 dB configuration (VERDICT r3 item 4: the dense tiled-rfft path at
-    0.80 G was the shipping default while the 2.51 G GEMM engine sat behind
-    an explicit flag).  ``"gemm8"`` is the int8-MXU GEMM (faster still,
-    76.6 dB); ``"mxu"``/``"mxu3"`` route through the four-step MXU FFT
-    (slower than the GEMM forms at n=8192 -- kept as validated
+    f32 fast path defaults to the int8-MXU Toeplitz GEMM (``gemm8``,
+    7.9 G samples/s at 76.7 dB -- 10x the tiled-rfft path that shipped as
+    the default through r3; floors pinned in tests/test_engine_matrix.py).
+    ``"gemm"`` is the f32 Toeplitz GEMM (1.6-2.5 G, >= 85 dB) for callers
+    wanting more headroom; ``"mxu"``/``"mxu3"`` route through the four-step
+    MXU FFT (slower than the GEMM forms at n=8192 -- kept as validated
     alternatives)."""
     x = np.asarray(x, np.int16)
     T = len(x) // BLOCK_SIZE
@@ -251,7 +251,7 @@ def run_stream(x, dtype=jnp.float64, real_fft=False, fft_engine: str = "auto"):
     if T <= WARMUP_BLOCKS:
         return np.zeros(0, np.int16)
     if fft_engine == "auto":
-        fft_engine = "gemm" if dtype == jnp.float32 else "xla"
+        fft_engine = "gemm8" if dtype == jnp.float32 else "xla"
     if fft_engine == "gemm8":
         out = fastconv_blocks_gemm_int8(jnp.asarray(blocks))
     elif fft_engine == "gemm":

@@ -138,15 +138,34 @@ def fastconv_sparse_roofline(block=1024, taps=70) -> Roofline:
 
 
 def geq_roofline(block=512, bands=7, dtype_bytes=4, assoc_scan=True) -> Roofline:
-    """Fast-linear GEQ as implemented (ops/geq.geq_apply_fast): per band the
-    FIR part is ~5 ops/sample and the IIR feedback runs as an associative
-    state-space scan -- ~2 combines/sample (up+down sweep), each a 2x2@2x2
-    + 2x2@2 affine compose (~20 ops).  The direct-form sequential kernel
-    (assoc_scan=False) is the 9 ops/sample textbook count."""
+    """Fast-linear GEQ, assoc-scan formulation (ops/geq.geq_apply_fast):
+    per band the FIR part is ~5 ops/sample and the IIR feedback runs as an
+    associative state-space scan -- ~2 combines/sample (up+down sweep),
+    each a 2x2@2x2 + 2x2@2 affine compose (~20 ops).  The direct-form
+    sequential kernel's roof is :func:`geq_seq_roofline` (it is DEPENDENCY-
+    bound, not issue-bound -- benching it against this model read 103%)."""
     per_band = (5 + 2 * 20) if assoc_scan else 9
     flops = block * bands * per_band
     bytes_ = 2 * block * dtype_bytes  # one read + one write; state in VMEM
     return Roofline(flops, bytes_, block, unit="vpu")
+
+
+def geq_seq_roofline(bands=7, streams=1024, dep_latency_cycles=4,
+                     clk=0.94e9) -> Roofline:
+    """The benched GEQ fast path (kernels/biquad_pallas.geq_cascade_pallas):
+    a SEQUENTIAL per-sample cascade over 1024 lane-parallel streams.  Its
+    ceiling is not VPU issue rate but the per-sample DEPENDENCY CHAIN: each
+    band's output feeds the next band and each sample's state feeds the
+    next sample, ~2 dependent ops/band x ~4-cycle dependent-issue latency
+    = ~56 cycles/sample, hidden across 1024 streams ->
+    streams x clk / 56 ~= 17.2 G samples/s.  (Expressed through the
+    Roofline flops field as latency-equivalent slots; the "compute"
+    bottleneck label here means the dependency chain.)  The 4x trace-level
+    unroll + hoisted coefficients reach ~70% of this; the remainder is
+    loop/grid bookkeeping."""
+    chain_cycles = bands * 2 * dep_latency_cycles
+    flops = chain_cycles * Roofline.PEAKS["vpu"] / (clk * streams)
+    return Roofline(flops, 2 * 4.0 / 1.0, 1, unit="vpu")
 
 
 def nlms_roofline(taps=256) -> Roofline:
@@ -176,12 +195,14 @@ def bnlms_roofline(taps=128, block=1024) -> Roofline:
 
 
 def amdf_roofline(lags=(101, 512), window=1024) -> Roofline:
-    """Pallas AMDF (pitch method 2), per 512-sample hop: for each of 411
-    lags, |x[i] - x[i+lag]| summed over 1024 window samples -- 3 VPU ops per
-    (lag, sample) pair, VMEM-resident.  HBM: one int16-as-f32 read of the
-    hop + 3 f32 result words."""
+    """Pallas AMDF (pitch method 2), per 512-sample hop: for each lag,
+    |x[i] - x[i+lag]| summed over 1024 window samples, VMEM-resident.
+    2 issue slots per (lag, sample) pair: the subtract+abs pair issues as
+    one fused op on the VPU (the r3 3-op count put the measured kernel at
+    ~123% of "speed of light" -- a model bug, not a perf miracle) plus the
+    accumulate.  HBM: one int16-as-f32 read of the hop + result words."""
     nlags = lags[1] - lags[0]
-    flops = 3 * nlags * window
+    flops = 2 * nlags * window
     bytes_ = 512 * 4 + 12
     return Roofline(flops, bytes_, 512, unit="vpu")
 

@@ -142,6 +142,25 @@ def run_checks() -> dict:
         np.abs(dm).max() <= 1 and (dm != 0).mean() < 0.01
     )
 
+    # --- int8 Toeplitz fastconv (the --fast default engine): floor 70 dB ---
+    from jeicyboodsp_tpu.oracle import fastconv as ofc
+    from jeicyboodsp_tpu.ops.fastconv import fastconv_blocks_gemm_int8
+
+    nfc = 16 * 1024
+    tfc = np.arange(nfc) / 16000.0
+    xfc = np.clip(
+        5000 * np.sin(2 * np.pi * 313 * tfc) * (np.sin(2 * np.pi * 0.5 * tfc) > 0.2)
+        + rng.normal(0, 20, nfc), -32768, 32767,
+    ).astype(np.int16)
+    want_fc = ofc.run(xfc).astype(np.float64)
+    got_fc = np.asarray(
+        fastconv_blocks_gemm_int8(jnp.asarray(xfc.reshape(-1, 1024)))
+    ).reshape(-1).astype(np.float64)
+    err_fc = want_fc - got_fc
+    snr_fc = 10 * np.log10(np.sum(want_fc**2) / max(np.sum(err_fc**2), 1e-30))
+    results["fastconv_gemm8_snr_db"] = round(float(snr_fc), 1)
+    results["fastconv_gemm8_snr_ok"] = bool(snr_fc >= 70.0)
+
     # --- Pallas AMDF: pitch lags exactly equal to the oracle ---
     from jeicyboodsp_tpu.oracle import pitch as opitch
     from jeicyboodsp_tpu.ops.features import pitch_run
