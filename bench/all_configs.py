@@ -83,6 +83,9 @@ STAMP_GLOBS = (
     "jeicyboodsp_tpu/kernels/*.py",
     "jeicyboodsp_tpu/models/*.py",
     "jeicyboodsp_tpu/pipelines/*.py",
+    "jeicyboodsp_tpu/parallel/*.py",
+    "jeicyboodsp_tpu/io/*.py",
+    "jeicyboodsp_tpu/utils/cnum.py",  # the C-numeric semantics every op uses
     "native/*.cpp",
     "bench/all_configs.py",
 )

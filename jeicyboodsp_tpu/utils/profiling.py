@@ -267,7 +267,16 @@ def wk_pitch3_roofline(block=512, proc=1024, passes=6) -> Roofline:
     contracts over the 1024 REAL samples only (the zero half contributes
     nothing), with 1024x1024 aligned bases + rank-1 Nyquist terms, then a
     1024x512 power->autocorrelation matmul.  Half the forward FLOPs of the
-    padded-contraction model (wk_pitch_roofline(pad=2))."""
+    padded-contraction model (wk_pitch_roofline(pad=2)); measured 1.39 ->
+    2.95 G (r4), 46% of this roof.  The residual gap is shared with pitch1
+    (47%): it is the HIGHEST-precision (bf16x6 emulated-f32) GEMM
+    efficiency ceiling at these shapes -- a RAW (2048,1024)@(1024,1024)
+    HIGHEST matmul measured 204 TF/s hw = 51.8% of the 394 TF peak (r4,
+    chained protocol) -- plus the inter-stage power/divide/argmax passes.
+    Not fixable by alignment; dropping to 3-pass HIGH is
+    ruled out because the observable is an argmax over near-equal
+    period-multiple peaks that 3-pass rounding flips (the mxu1/mxu3
+    study in ops/features.pitch_frames)."""
     nbins = proc  # 1024 aligned bins (Nyquist split out as rank-1)
     macs = 2 * proc * nbins + nbins * block
     flops = passes * 2 * macs
