@@ -46,9 +46,7 @@ def main():
 
     CONFIGS = {
         "mxu3": dict(),
-        "i8fwd": dict(int8_fwd=True),
-        "i8full": dict(int8_fwd=True, int8_back=True),
-        "i8back": dict(int8_back=True),
+        "i8full": dict(int8=True),
     }
     out = {}
     for tag, kw in CONFIGS.items():

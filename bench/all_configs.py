@@ -62,12 +62,18 @@ def amortized(fn_calls, n1=1, n2=5):
     Tunnel dispatch jitter (~ms) can exceed (n2-n1) iterations for fast
     sections, even yielding NEGATIVE deltas; on a non-positive or clearly
     jitter-dominated delta the spread is widened (up to 2 retries) so every
-    committed row is a real measurement."""
+    committed row is a real measurement.  Each point is the MIN of two
+    timed runs (r4: a single host-side stall inside the wide window once
+    deflated the headline row ~2x -- single-run points have no defense
+    against one-off stalls; min-of-2 matches bench.py's protocol)."""
     def timed(k):
         fn_calls(k)  # compile + warm
-        t0 = time.perf_counter()
-        fn_calls(k)
-        return time.perf_counter() - t0
+        raw = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn_calls(k)
+            raw.append(time.perf_counter() - t0)
+        return min(raw)
     for _ in range(3):
         t1, t2 = timed(n1), timed(n2)
         per = (t2 - t1) / (n2 - n1)

@@ -75,7 +75,7 @@ def main():
         return (re + ns512).astype(jnp.int16)
 
     def full(bp):
-        out, mask = E._enhance_fused3(bp, "wiener", False, F=512, int8_fwd=True, int8_back=True)
+        out, mask = E._enhance_fused3(bp, "wiener", False, F=512, int8=True)
         return out
 
     def stage_fwd_back(bp):  # fwd + back8, latch replaced by a constant

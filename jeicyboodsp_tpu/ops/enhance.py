@@ -417,7 +417,7 @@ def _dft_mats_int8_back():
 
 
 def _enhance_fused3(blocks, mode, emit_all, interpret=False, F: int = 256,
-                    int8_fwd: bool = False, int8_back: bool = False):
+                    int8: bool = False):
     """Fused fast path v3 (the default TPU mxu3 path): u/vv contractions as
     in _enhance_fused, but the OLA (lane flip + shift + add + c_short)
     stays in-kernel via an exact 2-pass permutation GEMM (see
@@ -439,7 +439,7 @@ def _enhance_fused3(blocks, mode, emit_all, interpret=False, F: int = 256,
         jnp.concatenate([blocks, jnp.zeros((pad, BLOCK_LEN), blocks.dtype)], axis=0)
         if pad else blocks
     )
-    if int8_fwd:
+    if int8:
         # the fwd GEMM operands are raw int16 blocks (window folded into the
         # bases), so the data side splits EXACTLY into int8 -- 2x MAC rate
         # (measured fwd 0.284 vs 0.733 ms at T=16384, 91 dB per plane); the
@@ -455,7 +455,7 @@ def _enhance_fused3(blocks, mode, emit_all, interpret=False, F: int = 256,
     speech = sp[:, 0] > 0.5  # in-kernel VAD (vad_flags semantics)
     ns512, ns_n = _noise_latch_parts(speech, (mag512, mag_n))
     write_mask = jnp.arange(T) >= 2
-    if int8_back:
+    if int8:
         # inverse GEMMs at the int8 MAC rate: the gained spectra quantize
         # per row in-kernel (~2^-16 of rowmax -- same error class as the
         # matrix split; the log-amplification argument that killed int8
@@ -518,7 +518,7 @@ def _enhance_fused(blocks, mode, emit_all, interpret=False, F: int = 512):
     return out[:T], write_mask[:T]
 
 
-def _enhance_fast_mxu(blocks, mode, dtype, precision, emit_all, int8_fwd=False):
+def _enhance_fast_mxu(blocks, mode, dtype, precision, emit_all, int8=False):
     """The TPU speed path: 512-aligned GEMMs, symmetry-halved inverse,
     closed-form noise latch.  Same math as the generic path (ratio
     resynthesis) up to rounding; SNR contract asserted by tests/bench.
@@ -534,12 +534,13 @@ def _enhance_fast_mxu(blocks, mode, dtype, precision, emit_all, int8_fwd=False):
         # fused3 keeps the OLA (lane-flip + shift + add + c_short) in-kernel
         # -- equals _enhance_fused to +-1 truncation flips, measured +7%
         # (interleaved min-of-2x51 runs: 5.16-5.63 vs 4.87-5.05 G samples/s);
-        # int8_fwd (engine mxu8) additionally runs the forward rDFT as
-        # exact-int8-split GEMMs at 2x MAC rate, and the back half's inverse
-        # GEMMs from per-row-quantized spectra (int8_back)
-        return _enhance_fused3(
-            blocks, mode, emit_all, F=512, int8_fwd=int8_fwd, int8_back=int8_fwd
-        )
+        # int8 (engine mxu8) runs the forward rDFT as exact-int8-split GEMMs
+        # and the inverse from per-row-quantized spectra, both at 2x MAC
+        # rate.  (r4 negative result: ALSO quantizing the inter-kernel
+        # re/im/mag/ns planes to int16+rowscale measured ~15% SLOWER --
+        # 5.87 vs 6.79 G -- the in-kernel rowmax reduces + i16 packing cost
+        # more than the saved bandwidth; planes stay f32.)
+        return _enhance_fused3(blocks, mode, emit_all, F=512, int8=int8)
     T = blocks.shape[0]
     M = _dft_mats_aligned()
     WC, WS = jnp.asarray(M["WC"], dtype), jnp.asarray(M["WS"], dtype)
@@ -629,7 +630,7 @@ def enhance_blocks(
 
         return _enhance_fast_mxu(
             blocks, mode, fdtype, precision_of(fft_engine), emit_all,
-            int8_fwd=(fft_engine == "mxu8"),
+            int8=(fft_engine == "mxu8"),
         )
 
     prev = jnp.concatenate([jnp.zeros((1, BLOCK_LEN), blocks.dtype), blocks[:-1]], axis=0)

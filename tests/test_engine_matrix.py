@@ -60,10 +60,9 @@ def test_enhance_engine_floor(probe, mode, engine, floor):
     [
         # fused bf16x3 (the TPU mxu3 path): measured ~92.6 dB on this probe
         (dict(), 85.0),
-        # int8-split forward DFT only (round-3 mxu8): measured ~72.7 dB
-        (dict(int8_fwd=True), 68.0),
-        # full int8 engine (fwd + per-row-quantized inverse): ~69.5 dB
-        (dict(int8_fwd=True, int8_back=True), 65.0),
+        # full int8 engine (mxu8: int8-split fwd + per-row-quantized
+        # inverse): ~69.5 dB
+        (dict(int8=True), 65.0),
     ],
 )
 @pytest.mark.parametrize("mode", ["wiener", "specsub"])

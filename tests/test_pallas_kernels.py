@@ -227,12 +227,13 @@ def test_enhance_fused_kernels_match_xla_path(rng, snr):
         c = np.asarray(out_3)[np.asarray(mask_3)].astype(np.float64).reshape(-1)
         s3 = 10 * np.log10((want ** 2).sum() / max(((want - c) ** 2).sum(), 1e-30))
         assert s3 >= 60.0, (mode, s3)
-        # int8 forward engine (mxu8): exact int8 data split + per-column
-        # int8 matrix split, forward planes ~91 dB -> chain must stay well
-        # above the 60 dB observable contract and close to the bf16x3 path
+        # full-int8 engine (mxu8): exact int8 data split + per-column int8
+        # matrix split + per-row-quantized inverse -- each term ~2^-16,
+        # chain observable ~69-72 dB; the engine's documented floor is 65
+        # (config.ENGINE_FIDELITY), re-proven on silicon by tpu_checks
         out_8, mask_8 = E._enhance_fused3(blocks, mode, emit_all=False,
-                                          interpret=True, F=8, int8_fwd=True)
+                                          interpret=True, F=8, int8=True)
         np.testing.assert_array_equal(np.asarray(mask_f), np.asarray(mask_8))
         e = np.asarray(out_8)[np.asarray(mask_8)].astype(np.float64).reshape(-1)
         s8 = 10 * np.log10((want ** 2).sum() / max(((want - e) ** 2).sum(), 1e-30))
-        assert s8 >= 75.0, (mode, s8)
+        assert s8 >= 65.0, (mode, s8)
