@@ -34,45 +34,69 @@ BANDS = 7
 TILE_T = 512
 
 
-def _kernel(coef_ref, x_ref, out_ref, state):
+def _make_kernel(unroll: int):
     """coef: (7, 8); x/out tile: (TILE_T, 8, 128) = 1024 streams per step;
     state: (14, 8, 128) scratch.
 
     r4: the per-sample body is ~63 short VPU ops on (8, 128) tiles, so
     fori_loop overhead dominated (measured 32% of the issue roof).  Same
     medicine as the BNLMS kernel: hoist the coefficient scalars out of the
-    loop (one VMEM load each instead of per-step) and unroll 4 samples per
-    iteration at trace level (Mosaic only lowers unroll=1-or-full).  The
-    state rows carry through registers across the unrolled sub-steps."""
-    t_idx = pl.program_id(1)
+    loop (one VMEM load each instead of per-step) and unroll ``unroll``
+    samples per iteration at trace level (Mosaic only lowers
+    unroll=1-or-full).  The state rows carry through registers across the
+    unrolled sub-steps.  Measured (T=49152x2048 streams): 4x -> 12.1 G
+    (from 4.9 at 1x); see geq_cascade_pallas for the unroll sweep."""
 
-    @pl.when(t_idx == 0)
-    def _():
-        state[:, :, :] = jnp.zeros_like(state)
+    def kernel(coef_ref, x_ref, out_ref, state):
+        t_idx = pl.program_id(1)
 
-    T = x_ref.shape[1]  # block is (1, TILE_T, 8, 128)
-    cc = coef_ref[...]  # hoisted: (7, 8) scalar table
+        @pl.when(t_idx == 0)
+        def _():
+            state[:, :, :] = jnp.zeros_like(state)
 
-    def step4(t4, _):
-        s = [state[r] for r in range(2 * BANDS)]
-        for dt in range(4):
-            v = x_ref[0, t4 * 4 + dt]
-            for k in range(BANDS):
-                y = cc[k, 0] * v + s[2 * k]
-                s[2 * k] = cc[k, 1] * v - cc[k, 3] * y + s[2 * k + 1]
-                s[2 * k + 1] = cc[k, 2] * v - cc[k, 4] * y
-                v = y
-            out_ref[0, t4 * 4 + dt] = v
-        for r in range(2 * BANDS):
-            state[r] = s[r]
-        return 0
+        T = x_ref.shape[1]  # block is (1, TILE_T, 8, 128)
+        cc = coef_ref[...]  # hoisted: (7, 8) scalar table
 
-    jax.lax.fori_loop(0, T // 4, step4, 0)
+        def stepn(tn, _):
+            s = [state[r] for r in range(2 * BANDS)]
+            for dt in range(unroll):
+                v = x_ref[0, tn * unroll + dt]
+                for k in range(BANDS):
+                    y = cc[k, 0] * v + s[2 * k]
+                    s[2 * k] = cc[k, 1] * v - cc[k, 3] * y + s[2 * k + 1]
+                    s[2 * k + 1] = cc[k, 2] * v - cc[k, 4] * y
+                    v = y
+                out_ref[0, tn * unroll + dt] = v
+            for r in range(2 * BANDS):
+                state[r] = s[r]
+            return 0
+
+        jax.lax.fori_loop(0, T // unroll, stepn, 0)
+
+    return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def geq_cascade_pallas(x, coef, interpret: bool = False):
-    """x: (B, T) float streams -> (B, T) filtered. B padded to 1024."""
+@functools.partial(jax.jit, static_argnames=("interpret", "unroll"))
+def geq_cascade_pallas(x, coef, interpret: bool = False, unroll: int = 128):
+    """x: (B, T) float streams -> (B, T) filtered. B padded to 1024.
+
+    ``unroll``: samples per trace-level loop iteration (must divide
+    TILE_T=512).  r4 sweep on v5e (2048 streams x 49152 samples, chained):
+    1x 4.9 G -> 4x 12.1-13.2 -> 8x 17.5 -> 16x 20.2 -> 64x 23.9 ->
+    128x 25-28 G samples/s, flat within jitter from 128 up (256/512
+    measured 23.3/26.0).  The body is a serial dependency chain (~2
+    dependent ops/band, state feeds the next sample), so the win is loop
+    bookkeeping removal + Mosaic filling latency slots with the
+    off-critical-path state updates; the plateau ~26 G = ~44% of the pure
+    issue-rate roof is the chain latency floor.  128 is the shipped
+    default (full 512 unroll compiles noticeably slower for no gain)."""
+    if TILE_T % unroll:
+        raise ValueError(f"unroll must divide {TILE_T}; got {unroll}")
+    if interpret:
+        # interpret mode executes the trace op by op in Python: a 128x
+        # unrolled body is ~30x slower to simulate for identical values --
+        # keep CI fast (the unroll changes scheduling, not math)
+        unroll = min(unroll, 4)
     B, T = x.shape
     Bp = -(-B // STREAMS) * STREAMS
     Tp = -(-T // TILE_T) * TILE_T
@@ -82,7 +106,7 @@ def geq_cascade_pallas(x, coef, interpret: bool = False):
 
     grid = (Bp // STREAMS, Tp // TILE_T)
     out = pl.pallas_call(
-        _kernel,
+        _make_kernel(unroll),
         out_shape=jax.ShapeDtypeStruct(xt.shape, jnp.float32),
         grid_spec=pl.GridSpec(
             grid=grid,

@@ -150,22 +150,21 @@ def geq_roofline(block=512, bands=7, dtype_bytes=4, assoc_scan=True) -> Roofline
     return Roofline(flops, bytes_, block, unit="vpu")
 
 
-def geq_seq_roofline(bands=7, streams=1024, dep_latency_cycles=4,
-                     clk=0.94e9) -> Roofline:
+def geq_seq_roofline(block=512, bands=7) -> Roofline:
     """The benched GEQ fast path (kernels/biquad_pallas.geq_cascade_pallas):
-    a SEQUENTIAL per-sample cascade over 1024 lane-parallel streams.  Its
-    ceiling is not VPU issue rate but the per-sample DEPENDENCY CHAIN: each
-    band's output feeds the next band and each sample's state feeds the
-    next sample, ~2 dependent ops/band x ~4-cycle dependent-issue latency
-    = ~56 cycles/sample, hidden across 1024 streams ->
-    streams x clk / 56 ~= 17.2 G samples/s.  (Expressed through the
-    Roofline flops field as latency-equivalent slots; the "compute"
-    bottleneck label here means the dependency chain.)  The 4x trace-level
-    unroll + hoisted coefficients reach ~70% of this; the remainder is
-    loop/grid bookkeeping."""
-    chain_cycles = bands * 2 * dep_latency_cycles
-    flops = chain_cycles * Roofline.PEAKS["vpu"] / (clk * streams)
-    return Roofline(flops, 2 * 4.0 / 1.0, 1, unit="vpu")
+    a SEQUENTIAL per-sample cascade over 1024 lane-parallel streams.  The
+    roof is the hardware ISSUE rate of the ~9 ops/band/sample direct-form
+    body (~58.7 G samples/s) -- a true upper bound no sequential
+    implementation can beat.  The measured gap to it is the per-sample
+    DEPENDENCY CHAIN (each band's output feeds the next band, each
+    sample's state feeds the next sample): the r4 unroll sweep saturates
+    at ~25-28 G from unroll=128 up (1x 4.9 -> 4x 12-13 -> 8x 17.5 -> 16x
+    20.2 -> 64x 23.9 -> 128x+ ~26 G), i.e. ~44% of this roof is the chain
+    latency floor on this VPU, demonstrated empirically rather than
+    assumed from an undocumented latency figure."""
+    flops = block * bands * 9
+    bytes_ = 2 * block * 4  # one read + one write; state in VMEM
+    return Roofline(flops, bytes_, block, unit="vpu")
 
 
 def nlms_roofline(taps=256) -> Roofline:
