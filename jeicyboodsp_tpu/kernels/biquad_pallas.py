@@ -203,7 +203,11 @@ def _trunc_wrap_short_df(sh, sl):
     return ti.astype(jnp.float32)
 
 
-def _kernel_quant(coef_ref, x_ref, state_in_ref, out_ref, state_out_ref, state):
+def _make_kernel_quant(unroll: int):
+    return functools.partial(_kernel_quant_impl, unroll)
+
+
+def _kernel_quant_impl(unroll, coef_ref, x_ref, state_in_ref, out_ref, state_out_ref, state):
     """Direct-form-I cascade with int16 truncate-and-wrap feedback, matching
     the reference recursion y[k][n] = short(b0*u[n] + b1*u[n-1] + b2*u[n-2]
     - a1*y[n-1] - a2*y[n-2]) where u is band k-1's QUANTIZED output
@@ -220,35 +224,50 @@ def _kernel_quant(coef_ref, x_ref, state_in_ref, out_ref, state_out_ref, state):
         state[:, :, :] = state_in_ref[0]
 
     T = x_ref.shape[1]
+    cc = coef_ref[...]  # hoisted (r4): 70 scalar loads per step otherwise
 
-    def step(t, _):
-        v = x_ref[0, t]
-        for k in range(BANDS):
-            x1 = state[4 * k]
-            x2 = state[4 * k + 1]
-            y1 = state[4 * k + 2]
-            y2 = state[4 * k + 3]
-            # reference accumulation order (7Band_GEQ.cpp:279-283):
-            # b2*x2 - a2*y2 + b1*x1 - a1*y1 + b0*v, each step df-rounded
-            sh, sl = _df_term(coef_ref[k, 2], coef_ref[k, 7], x2)
-            th, tl = _df_term(coef_ref[k, 4], coef_ref[k, 9], y2)
-            sh, sl = _df_add(sh, sl, th, tl)
-            th, tl = _df_term(coef_ref[k, 1], coef_ref[k, 6], x1)
-            sh, sl = _df_add(sh, sl, th, tl)
-            th, tl = _df_term(coef_ref[k, 3], coef_ref[k, 8], y1)
-            sh, sl = _df_add(sh, sl, th, tl)
-            th, tl = _df_term(coef_ref[k, 0], coef_ref[k, 5], v)
-            sh, sl = _df_add(sh, sl, th, tl)
-            y = _trunc_wrap_short_df(sh, sl)
-            state[4 * k + 1] = x1
-            state[4 * k] = v
-            state[4 * k + 3] = y1
-            state[4 * k + 2] = y
-            v = y
-        out_ref[0, t] = v
+    def step4(t4, _):
+        # state rows carried through registers across the unrolled
+        # sub-steps (r4: same loop-overhead medicine as the linear kernel;
+        # pure scheduling -- the df arithmetic order, and therefore the
+        # bit-exact contract, is untouched ON TPU, where Mosaic preserves
+        # FP op ordering.  In interpret mode the body lowers to XLA:CPU,
+        # whose fusion clustering CHANGES with the unrolled graph and
+        # contracts a mul+add into an fma somewhere inside the Dekker
+        # arithmetic -- one input in CI flipped a truncation -- so
+        # interpret clamps unroll=1, the shape CI always validated; the
+        # silicon lane re-proves bit-exactness at the shipped unroll).
+        s = [state[r] for r in range(4 * BANDS)]
+        for dt in range(unroll):
+            v = x_ref[0, t4 * unroll + dt]
+            for k in range(BANDS):
+                x1 = s[4 * k]
+                x2 = s[4 * k + 1]
+                y1 = s[4 * k + 2]
+                y2 = s[4 * k + 3]
+                # reference accumulation order (7Band_GEQ.cpp:279-283):
+                # b2*x2 - a2*y2 + b1*x1 - a1*y1 + b0*v, each df-rounded
+                sh, sl = _df_term(cc[k, 2], cc[k, 7], x2)
+                th, tl = _df_term(cc[k, 4], cc[k, 9], y2)
+                sh, sl = _df_add(sh, sl, th, tl)
+                th, tl = _df_term(cc[k, 1], cc[k, 6], x1)
+                sh, sl = _df_add(sh, sl, th, tl)
+                th, tl = _df_term(cc[k, 3], cc[k, 8], y1)
+                sh, sl = _df_add(sh, sl, th, tl)
+                th, tl = _df_term(cc[k, 0], cc[k, 5], v)
+                sh, sl = _df_add(sh, sl, th, tl)
+                y = _trunc_wrap_short_df(sh, sl)
+                s[4 * k + 1] = x1
+                s[4 * k] = v
+                s[4 * k + 3] = y1
+                s[4 * k + 2] = y
+                v = y
+            out_ref[0, t4 * unroll + dt] = v
+        for r in range(4 * BANDS):
+            state[r] = s[r]
         return 0
 
-    jax.lax.fori_loop(0, T, step, 0)
+    jax.lax.fori_loop(0, T // unroll, step4, 0)
 
     @pl.when(t_idx == n_t - 1)
     def _():
@@ -278,15 +297,29 @@ def init_quant_state(n_batch_tiles: int = 1):
     return jnp.zeros((n_batch_tiles, 4 * BANDS, SUBLANES, LANES), jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def geq_cascade_pallas_quant(x, coef_df, state=None, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("interpret", "unroll"))
+def geq_cascade_pallas_quant(x, coef_df, state=None, interpret: bool = False,
+                             unroll: int = 8):
     """Quantized-feedback cascade: x (B, T) int16-valued -> (B, T) f32
     holding int16 values (the reference's requantized band-6 output), plus
     the carried filter state for streaming continuation.
 
     coef_df from :func:`pack_coefficients_df`.  Same layout/grid as
     :func:`geq_cascade_pallas`; bit-exact vs the f64 oracle (df32 math).
-    Returns (y, new_state); pass state=None (zeros) for a fresh stream."""
+    Returns (y, new_state); pass state=None (zeros) for a fresh stream.
+
+    ``unroll``: trace-level samples per loop iteration on TPU.  Interpret
+    mode CLAMPS it to 1: the unrolled body lowers to XLA:CPU whose fusion
+    clustering contracts a mul+add into an fma inside the Dekker
+    arithmetic on some inputs (one CI input flipped a truncation); Mosaic
+    preserves FP op ordering, and the silicon lane (utils/tpu_checks,
+    every driver bench) re-proves bit-exactness at the shipped unroll.
+    r4 sweep (2048 streams x 49k, bit-exact verified on silicon at each):
+    1x 2.14 -> 4x 4.27 -> 8x 4.69 G samples/s; 8 ships."""
+    if TILE_T % unroll:
+        raise ValueError(f"unroll must divide {TILE_T}; got {unroll}")
+    if interpret:
+        unroll = 1
     B, T = x.shape
     Bp = -(-B // STREAMS) * STREAMS
     Tp = -(-T // TILE_T) * TILE_T
@@ -300,7 +333,7 @@ def geq_cascade_pallas_quant(x, coef_df, state=None, interpret: bool = False):
     if tuple(state.shape) != want:  # pallas would silently read OOB blocks
         raise ValueError(f"state shape {tuple(state.shape)} != {want}")
     out, state_out = pl.pallas_call(
-        _kernel_quant,
+        _make_kernel_quant(unroll),
         out_shape=(
             jax.ShapeDtypeStruct(xt.shape, jnp.float32),
             jax.ShapeDtypeStruct(state.shape, jnp.float32),
