@@ -34,7 +34,16 @@ BANDS = 7
 TILE_T = 512
 
 
-def _make_kernel(unroll: int):
+def _trunc_wrap_f32(y):
+    """Single-f32 double->short semantics (7Band_GEQ.cpp:284): truncate
+    toward zero, wrap modulo 2^16.  Exact for |y| < 2^24 (the linear
+    cascade's range on int16 input)."""
+    ti = jnp.trunc(y).astype(jnp.int32)
+    ti = ((ti + 0x8000) & 0xFFFF) - 0x8000
+    return ti.astype(jnp.float32)
+
+
+def _make_kernel(unroll: int, quant_boundaries: bool = False):
     """coef: (7, 8); x/out tile: (TILE_T, 8, 128) = 1024 streams per step;
     state: (14, 8, 128) scratch.
 
@@ -45,7 +54,20 @@ def _make_kernel(unroll: int):
     samples per iteration at trace level (Mosaic only lowers
     unroll=1-or-full).  The state rows carry through registers across the
     unrolled sub-steps.  Measured (T=49152x2048 streams): 4x -> 12.1 G
-    (from 4.9 at 1x); see geq_cascade_pallas for the unroll sweep."""
+    (from 4.9 at 1x); see geq_cascade_pallas for the unroll sweep.
+
+    ``quant_boundaries`` (r5, VERDICT item 7 -- MEASURED NEGATIVE): apply
+    the reference's int16 truncate-and-wrap at each band BOUNDARY on the
+    forward path (7Band_GEQ.cpp:284) while each band's own feedback stays
+    linear.  Measured vs the f64 oracle: 30.9 dB on a clean signal and
+    ~0 dB under wrap stress -- the 44 Hz shelf's near-unity pole amplifies
+    the <= 1 LSB feedback-path error ~300x, and any int16 wrap in the
+    reference's (quantized) feedback diverges from the linear one
+    entirely.  The feedback quantization IS the audible behavior; there
+    is no stable >= 60 dB approximation short of the bit-exact df32
+    kernel, which is therefore the only above-bar quantized engine (its
+    r5 `groups` interleave recovers most of the speed gap).  Kept as the
+    documented measured row (docs/PERFORMANCE.md)."""
 
     def kernel(coef_ref, x_ref, out_ref, state):
         t_idx = pl.program_id(1)
@@ -65,7 +87,7 @@ def _make_kernel(unroll: int):
                     y = cc[k, 0] * v + s[2 * k]
                     s[2 * k] = cc[k, 1] * v - cc[k, 3] * y + s[2 * k + 1]
                     s[2 * k + 1] = cc[k, 2] * v - cc[k, 4] * y
-                    v = y
+                    v = _trunc_wrap_f32(y) if quant_boundaries else y
                 out_ref[0, tn * unroll + dt] = v
             for r in range(2 * BANDS):
                 state[r] = s[r]
@@ -76,8 +98,9 @@ def _make_kernel(unroll: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "unroll"))
-def geq_cascade_pallas(x, coef, interpret: bool = False, unroll: int = 128):
+@functools.partial(jax.jit, static_argnames=("interpret", "unroll", "quant_boundaries"))
+def geq_cascade_pallas(x, coef, interpret: bool = False, unroll: int = 128,
+                       quant_boundaries: bool = False):
     """x: (B, T) float streams -> (B, T) filtered. B padded to 1024.
 
     ``unroll``: samples per trace-level loop iteration (must divide
@@ -106,7 +129,7 @@ def geq_cascade_pallas(x, coef, interpret: bool = False, unroll: int = 128):
 
     grid = (Bp // STREAMS, Tp // TILE_T)
     out = pl.pallas_call(
-        _make_kernel(unroll),
+        _make_kernel(unroll, quant_boundaries),
         out_shape=jax.ShapeDtypeStruct(xt.shape, jnp.float32),
         grid_spec=pl.GridSpec(
             grid=grid,
@@ -203,11 +226,12 @@ def _trunc_wrap_short_df(sh, sl):
     return ti.astype(jnp.float32)
 
 
-def _make_kernel_quant(unroll: int):
-    return functools.partial(_kernel_quant_impl, unroll)
+def _make_kernel_quant(unroll: int, groups: int = 1):
+    return functools.partial(_kernel_quant_impl, unroll, groups)
 
 
-def _kernel_quant_impl(unroll, coef_ref, x_ref, state_in_ref, out_ref, state_out_ref, state):
+def _kernel_quant_impl(unroll, groups, coef_ref, x_ref, state_in_ref, out_ref,
+                       state_out_ref, state):
     """Direct-form-I cascade with int16 truncate-and-wrap feedback, matching
     the reference recursion y[k][n] = short(b0*u[n] + b1*u[n-1] + b2*u[n-2]
     - a1*y[n-1] - a2*y[n-2]) where u is band k-1's QUANTIZED output
@@ -215,13 +239,21 @@ def _kernel_quant_impl(unroll, coef_ref, x_ref, state_in_ref, out_ref, state_out
 
     coef: (7, 16): [b0 b1 b2 -a1 -a2] hi at cols 0-4, lo at cols 5-9.
     state rows per band: [x1, x2, y1, y2] -> (4*BANDS, 8, 128); threaded
-    in/out per batch tile so host-level streaming can checkpoint/resume."""
+    in/out per batch tile so host-level streaming can checkpoint/resume.
+
+    ``groups`` (r5): INDEPENDENT stream groups (consecutive batch tiles)
+    processed per sub-step.  The df chain per sample is ~40 dependent VPU
+    ops while each op's inputs come from a different group's chain, so
+    interleaving G groups gives the scheduler G independent chains to
+    hide latency with -- the same medicine that took the linear kernel
+    from 12 -> 27 G.  Pure scheduling: each stream's op sequence (and the
+    bit-exact contract) is untouched."""
     t_idx = pl.program_id(1)
     n_t = pl.num_programs(1)
 
     @pl.when(t_idx == 0)
     def _():
-        state[:, :, :] = state_in_ref[0]
+        state[:, :, :, :] = state_in_ref[...]
 
     T = x_ref.shape[1]
     cc = coef_ref[...]  # hoisted (r4): 70 scalar loads per step otherwise
@@ -237,41 +269,44 @@ def _kernel_quant_impl(unroll, coef_ref, x_ref, state_in_ref, out_ref, state_out
         # arithmetic -- one input in CI flipped a truncation -- so
         # interpret clamps unroll=1, the shape CI always validated; the
         # silicon lane re-proves bit-exactness at the shipped unroll).
-        s = [state[r] for r in range(4 * BANDS)]
+        s = [[state[g, r] for r in range(4 * BANDS)] for g in range(groups)]
         for dt in range(unroll):
-            v = x_ref[0, t4 * unroll + dt]
+            v = [x_ref[g, t4 * unroll + dt] for g in range(groups)]
             for k in range(BANDS):
-                x1 = s[4 * k]
-                x2 = s[4 * k + 1]
-                y1 = s[4 * k + 2]
-                y2 = s[4 * k + 3]
-                # reference accumulation order (7Band_GEQ.cpp:279-283):
-                # b2*x2 - a2*y2 + b1*x1 - a1*y1 + b0*v, each df-rounded
-                sh, sl = _df_term(cc[k, 2], cc[k, 7], x2)
-                th, tl = _df_term(cc[k, 4], cc[k, 9], y2)
-                sh, sl = _df_add(sh, sl, th, tl)
-                th, tl = _df_term(cc[k, 1], cc[k, 6], x1)
-                sh, sl = _df_add(sh, sl, th, tl)
-                th, tl = _df_term(cc[k, 3], cc[k, 8], y1)
-                sh, sl = _df_add(sh, sl, th, tl)
-                th, tl = _df_term(cc[k, 0], cc[k, 5], v)
-                sh, sl = _df_add(sh, sl, th, tl)
-                y = _trunc_wrap_short_df(sh, sl)
-                s[4 * k + 1] = x1
-                s[4 * k] = v
-                s[4 * k + 3] = y1
-                s[4 * k + 2] = y
-                v = y
-            out_ref[0, t4 * unroll + dt] = v
-        for r in range(4 * BANDS):
-            state[r] = s[r]
+                for g in range(groups):  # independent chains interleaved
+                    x1 = s[g][4 * k]
+                    x2 = s[g][4 * k + 1]
+                    y1 = s[g][4 * k + 2]
+                    y2 = s[g][4 * k + 3]
+                    # reference accumulation order (7Band_GEQ.cpp:279-283):
+                    # b2*x2 - a2*y2 + b1*x1 - a1*y1 + b0*v, each df-rounded
+                    sh, sl = _df_term(cc[k, 2], cc[k, 7], x2)
+                    th, tl = _df_term(cc[k, 4], cc[k, 9], y2)
+                    sh, sl = _df_add(sh, sl, th, tl)
+                    th, tl = _df_term(cc[k, 1], cc[k, 6], x1)
+                    sh, sl = _df_add(sh, sl, th, tl)
+                    th, tl = _df_term(cc[k, 3], cc[k, 8], y1)
+                    sh, sl = _df_add(sh, sl, th, tl)
+                    th, tl = _df_term(cc[k, 0], cc[k, 5], v[g])
+                    sh, sl = _df_add(sh, sl, th, tl)
+                    y = _trunc_wrap_short_df(sh, sl)
+                    s[g][4 * k + 1] = x1
+                    s[g][4 * k] = v[g]
+                    s[g][4 * k + 3] = y1
+                    s[g][4 * k + 2] = y
+                    v[g] = y
+            for g in range(groups):
+                out_ref[g, t4 * unroll + dt] = v[g]
+        for g in range(groups):
+            for r in range(4 * BANDS):
+                state[g, r] = s[g][r]
         return 0
 
     jax.lax.fori_loop(0, T // unroll, step4, 0)
 
     @pl.when(t_idx == n_t - 1)
     def _():
-        state_out_ref[0] = state[:, :, :]
+        state_out_ref[...] = state[:, :, :, :]
 
 
 def pack_coefficients_df(b, a):
@@ -297,9 +332,9 @@ def init_quant_state(n_batch_tiles: int = 1):
     return jnp.zeros((n_batch_tiles, 4 * BANDS, SUBLANES, LANES), jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "unroll"))
+@functools.partial(jax.jit, static_argnames=("interpret", "unroll", "groups"))
 def geq_cascade_pallas_quant(x, coef_df, state=None, interpret: bool = False,
-                             unroll: int = 8):
+                             unroll: int = 8, groups: int = 2):
     """Quantized-feedback cascade: x (B, T) int16-valued -> (B, T) f32
     holding int16 values (the reference's requantized band-6 output), plus
     the carried filter state for streaming continuation.
@@ -315,25 +350,34 @@ def geq_cascade_pallas_quant(x, coef_df, state=None, interpret: bool = False,
     preserves FP op ordering, and the silicon lane (utils/tpu_checks,
     every driver bench) re-proves bit-exactness at the shipped unroll.
     r4 sweep (2048 streams x 49k, bit-exact verified on silicon at each):
-    1x 2.14 -> 4x 4.27 -> 8x 4.69 G samples/s; 8 ships."""
-    if TILE_T % unroll:
-        raise ValueError(f"unroll must divide {TILE_T}; got {unroll}")
+    1x 2.14 -> 4x 4.27 -> 8x 4.69 G samples/s.
+
+    ``groups`` (r5): independent 1024-stream groups interleaved per
+    sub-step so their dependency chains hide each other's latency (the
+    kernel docstring has the scheduling story); the time tile shrinks by
+    the same factor to keep VMEM flat.  Also clamped to 1 in interpret
+    mode (CI validates the per-stream math; silicon proves the shipped
+    shape)."""
     if interpret:
         unroll = 1
+        groups = 1
+    tile_t = TILE_T // groups  # keep the VMEM window flat as groups grow
+    if tile_t % unroll:
+        raise ValueError(f"unroll must divide {tile_t}; got {unroll}")
     B, T = x.shape
-    Bp = -(-B // STREAMS) * STREAMS
-    Tp = -(-T // TILE_T) * TILE_T
+    Bp = -(-B // (groups * STREAMS)) * (groups * STREAMS)
+    Tp = -(-T // tile_t) * tile_t
     xp = jnp.zeros((Bp, Tp), jnp.float32).at[:B, :T].set(x.astype(jnp.float32))
     xt = xp.reshape(Bp // STREAMS, SUBLANES, LANES, Tp).transpose(0, 3, 1, 2)
 
-    grid = (Bp // STREAMS, Tp // TILE_T)
+    grid = (Bp // (groups * STREAMS), Tp // tile_t)
     if state is None:
         state = init_quant_state(Bp // STREAMS)
     want = (Bp // STREAMS, 4 * BANDS, SUBLANES, LANES)
     if tuple(state.shape) != want:  # pallas would silently read OOB blocks
         raise ValueError(f"state shape {tuple(state.shape)} != {want}")
     out, state_out = pl.pallas_call(
-        _make_kernel_quant(unroll),
+        _make_kernel_quant(unroll, groups),
         out_shape=(
             jax.ShapeDtypeStruct(xt.shape, jnp.float32),
             jax.ShapeDtypeStruct(state.shape, jnp.float32),
@@ -343,29 +387,31 @@ def geq_cascade_pallas_quant(x, coef_df, state=None, interpret: bool = False,
             in_specs=[
                 pl.BlockSpec((BANDS, 16), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec(
-                    (1, TILE_T, SUBLANES, LANES),
+                    (groups, tile_t, SUBLANES, LANES),
                     lambda i, j: (i, j, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
-                    (1, 4 * BANDS, SUBLANES, LANES),
+                    (groups, 4 * BANDS, SUBLANES, LANES),
                     lambda i, j: (i, 0, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
             ],
             out_specs=(
                 pl.BlockSpec(
-                    (1, TILE_T, SUBLANES, LANES),
+                    (groups, tile_t, SUBLANES, LANES),
                     lambda i, j: (i, j, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
-                    (1, 4 * BANDS, SUBLANES, LANES),
+                    (groups, 4 * BANDS, SUBLANES, LANES),
                     lambda i, j: (i, 0, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
             ),
-            scratch_shapes=[pltpu.VMEM((4 * BANDS, SUBLANES, LANES), jnp.float32)],
+            scratch_shapes=[
+                pltpu.VMEM((groups, 4 * BANDS, SUBLANES, LANES), jnp.float32)
+            ],
         ),
         interpret=interpret,
     )(jnp.asarray(coef_df, jnp.float32), xt, state)

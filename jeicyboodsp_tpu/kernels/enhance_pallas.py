@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -494,6 +495,231 @@ def enhance_back_ola8_pallas(re, im, re_n, ns512, ns_n, M8B, u_nyq, y512col,
         ),
         interpret=interpret,
     )(*consts, re, im, re_n, ns512, ns_n)
+
+
+def _hi_lo(x):
+    """Exact bf16 hi + f32 residual split (Sterbenz: the residual is exact)."""
+    xh = x.astype(jnp.bfloat16).astype(jnp.float32)
+    return xh, x - xh
+
+
+def _make_full8_kernel(mode: str, y512n: float, F: int, L: int, emit_all: bool):
+    """The fully-fused enhancement engine (mxu8f): forward int8 rDFT ->
+    in-kernel noise latch -> gain -> int8 inverse -> OLA, one kernel, one
+    pass over HBM (input blocks in, int16 samples out; re/im/|X|/ns planes
+    never leave VMEM -- r4's mxu8 spent ~70% of its time moving them).
+
+    The only global state, the noise latch (WienerFilter_final.cpp:97-159),
+    runs in-VMEM via the closed form of ops.enhance._noise_latch_parts:
+    every per-row scalar (weight w = c*2^lk, rescale p = 2^-lk, active
+    latch row g, p[g]) is precomputed in XLA from the VAD flags (tiny (T,)
+    work) and rides in as a (F, 8) row pack; the data-dependent prefix
+        ns[r] = p_g * (A0s[chunk(g)] + sum_{j<=g, same chunk} w_j |X_j|)
+    becomes ONE matmul ns = M @ wm with M[r, j] = p_g[r] * [j <= g_r,
+    chunk-aligned] -- every M entry is a power of two or zero, hence EXACT
+    in bf16, so the pair (M @ wm_hi + M @ wm_lo) is f32-class at 2 MXU
+    passes.  Chunk aggregates (SEL), the chunk-base gather (H2) and the
+    last-row picks (SELpick) are skinny 0/1 GEMMs; the sequential part --
+    the C = F/L chunk-state composition + cross-tile carries (running
+    average A0, latched N, prev-block row, OLA tail) -- is O(C) vector ops
+    on the kernel's sequential grid.
+    """
+    if mode not in ("wiener", "specsub"):
+        raise ValueError(mode)
+    C = F // L
+    assert C * L == F, (F, L)
+
+    def kernel(Whcp, Wlcp, Whcc, Wlcc, Whsp, Wlsp, Whsc, Wlsc, fscales, fcrows,
+               nyp, nyc, SEL, SELpick, Uh, Ul, Vh, Vl, bscales, bcrows, unyq,
+               ycol, J, cur_ref, rp_ref, out_ref,
+               cprev, A0c, A0nc, Nc, Nnc, ctail):
+        pid = pl.program_id(0)
+
+        @pl.when(pid == 0)
+        def _():
+            cprev[...] = jnp.zeros_like(cprev)
+            A0c[...] = jnp.zeros_like(A0c)
+            A0nc[...] = jnp.zeros_like(A0nc)
+            Nc[...] = jnp.zeros_like(Nc)
+            Nnc[...] = jnp.zeros_like(Nnc)
+            ctail[...] = jnp.zeros_like(ctail)
+
+        # ---- forward int8 rDFT (as _fwd8_kernel) ----
+        cur = cur_ref[...].astype(jnp.int32)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (F, 1), 0)
+        prev = jnp.where(rows == 0, cprev[...], pltpu.roll(cur, 1, 0))
+        cprev[...] = cur[F - 1 :, :]
+
+        def split8(xi):
+            xh = jax.lax.shift_right_arithmetic(xi, jnp.int32(8))
+            xl = xi - 256 * xh - 128
+            return xh.astype(jnp.int8), xl.astype(jnp.int8)
+
+        ph, plo = split8(prev)
+        ch, cl = split8(cur)
+        s = fscales[...]
+        re = _fwd8_plane(ph, plo, ch, cl, Whcp[...], Wlcp[...], Whcc[...],
+                         Wlcc[...], s[0:1], s[1:2], s[2:3], s[3:4], fcrows[0:1])
+        im = _fwd8_plane(ph, plo, ch, cl, Whsp[...], Wlsp[...], Whsc[...],
+                         Wlsc[...], s[4:5], s[5:6], s[6:7], s[7:8], fcrows[1:2])
+        pf = prev.astype(jnp.float32)
+        cf = cur.astype(jnp.float32)
+        doth = lambda a, b: jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        ren = doth(pf, nyp[...]) + doth(cf, nyc[...])
+
+        # ---- in-kernel noise latch (closed form, exact-bf16 M matmuls) ----
+        mag = jnp.sqrt(re * re + im * im)
+        magn = jnp.abs(ren)
+        rp = rp_ref[...]
+        w = rp[:, 0:1]
+        p = rp[:, 1:2]
+        g = rp[:, 2:3]
+        pg = rp[:, 3:4]
+        d1 = lambda x, y: jax.lax.dot_general(
+            x, y, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        wm_h, wm_l = _hi_lo(w * mag)
+        wmn_h, wmn_l = _hi_lo(w * magn)
+        S_last = d1(SEL[...], wm_h) + d1(SEL[...], wm_l)      # (C, 512)
+        S_last_n = d1(SEL[...], wmn_h) + d1(SEL[...], wmn_l)  # (C, 1)
+        a_el = d1(SELpick[...], p)                            # (C, 1) 2^-k: exact
+        b_el = a_el * S_last
+        b_el_n = a_el * S_last_n
+        A0 = A0c[...]
+        A0n = A0nc[...]
+        A0s_rows, A0n_rows = [], []
+        for ci in range(C):  # sequential chunk-state composition (tiny)
+            A0s_rows.append(A0)
+            A0n_rows.append(A0n)
+            A0 = a_el[ci : ci + 1] * A0 + b_el[ci : ci + 1]
+            A0n = a_el[ci : ci + 1] * A0n + b_el_n[ci : ci + 1]
+        A0s = jnp.concatenate(A0s_rows, axis=0)   # (C, 512) chunk entry states
+        A0sn = jnp.concatenate(A0n_rows, axis=0)  # (C, 1)
+        A0c[...] = A0
+        A0nc[...] = A0n
+
+        # tile-local latch row (g is an exact small integer in f32; Mosaic
+        # iota is integer-only, so the selector compares run in int32)
+        gli = g.astype(jnp.int32) - F * pid
+        jlane = jax.lax.broadcasted_iota(jnp.int32, (F, F), 1)
+        cg = jnp.floor_divide(gli, L)
+        sel = (jlane <= gli) & (jnp.floor_divide(jlane, L) == cg)
+        M = pg * sel.astype(jnp.float32)  # rows with g < tile start -> all 0
+        ns_in = d1(M, wm_h) + d1(M, wm_l)
+        ns_in_n = d1(M, wmn_h) + d1(M, wmn_l)
+        clane = jax.lax.broadcasted_iota(jnp.int32, (F, C), 1)
+        H2 = ((clane == cg) & (gli >= 0)).astype(jnp.float32)
+        A0s_h, A0s_l = _hi_lo(A0s)
+        A0sn_h, A0sn_l = _hi_lo(A0sn)
+        base = pg * (d1(H2, A0s_h) + d1(H2, A0s_l))
+        base_n = pg * (d1(H2, A0sn_h) + d1(H2, A0sn_l))
+        in_prev = gli < 0  # latch row in an earlier tile (or none): carried N
+        ns512 = jnp.where(in_prev, Nc[...], ns_in + base)
+        nsn = jnp.where(in_prev, Nnc[...], ns_in_n + base_n)
+        Nc[...] = ns512[F - 1 :, :]
+        Nnc[...] = nsn[F - 1 :, :]
+
+        # ---- gain + int8 inverse + OLA (as _make_back_ola8_kernel) ----
+        if mode == "wiener":
+            P = re * re + im * im
+            v = ns512 * ns512 / P
+            gn512 = 1.0 - jnp.where(v >= 1.0, 1.0, v)
+            vn = nsn * nsn / (ren * ren)
+            gnn = 1.0 - jnp.where(vn >= 1.0, 1.0, vn)
+        else:
+            gn512 = (mag - ns512) / mag
+            gnn = (magn - nsn) / magn
+        Yre = re * gn512
+        Yim = im * gn512
+        Yren = ren * gnn
+        hre, lre, qre = _quant_row_int8(Yre)
+        him, lim, qim = _quant_row_int8(Yim)
+        sv = bscales[...]
+        cr = bcrows[...]
+        u = _inv_plane8(hre, lre, Uh[...], Ul[...], sv[0:1], sv[1:2], cr[0:1], qre)
+        u = u + Yren * unyq[...]
+        vv = _inv_plane8(him, lim, Vh[...], Vl[...], sv[2:3], sv[3:4], cr[1:2], qim)
+        head = u - vv
+        w2 = u + vv
+        y512 = doth(Yre, ycol[...]) + Yren * y512n
+        w2h, w2l = _hi_lo(w2)
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (F, 512), 1)
+        tail = d1(w2h, J[...]) + d1(w2l, J[...])
+        tail = jnp.where(lanes == 0, y512, tail)
+        tail_prev = jnp.where(rows == 0, ctail[...], pltpu.roll(tail, 1, 0))
+        ctail[...] = tail[F - 1 :, :]
+        gidx = rows + pid * F
+        acc = head + tail_prev * (gidx >= 2).astype(jnp.float32)
+        val = _c_short_f32(acc * (gidx >= 1).astype(jnp.float32))
+        if not emit_all:
+            val = val * (gidx >= 2).astype(jnp.float32)
+        out_ref[...] = val.astype(jnp.int32).astype(jnp.int16)
+
+    return kernel
+
+
+def enhance_full8_pallas(cur, rowpack, M8, M8B, nyq, u_nyq, y512col, Jflip,
+                         mode: str = "wiener", F: int = 256, L: int = 64,
+                         emit_all: bool = False, interpret: bool = False):
+    """One-kernel enhancement chain: (T, 512) int16 blocks + (T, 8) latch
+    row pack (from ops.enhance._latch_rowpack) -> (T, 512) int16 output.
+
+    See :func:`_make_full8_kernel`.  Same observable as the mxu8 pipeline
+    (enhance_fwd_int8_pallas -> XLA closed-form latch ->
+    enhance_back_ola8_pallas) up to latch addition grouping -- SNR floors
+    pinned in tests/test_engine_matrix.py and utils/tpu_checks.py.
+    """
+    T = cur.shape[0]
+    assert T % F == 0, (T, F)
+    C = F // L
+    SEL = np.zeros((C, F), np.float32)
+    for c in range(C):
+        SEL[c, c * L : (c + 1) * L] = 1.0
+    SELpick = np.zeros((C, F), np.float32)
+    for c in range(C):
+        SELpick[c, c * L + L - 1] = 1.0
+    consts = [jnp.asarray(M8[k]) for k in
+              ("WhCp", "WlCp", "WhCc", "WlCc", "WhSp", "WlSp", "WhSc", "WlSc")]
+    consts += [
+        jnp.asarray(M8["scales"]), jnp.asarray(M8["crows"]),
+        jnp.asarray(nyq[:512], jnp.float32).reshape(512, 1),
+        jnp.asarray(nyq[512:], jnp.float32).reshape(512, 1),
+        jnp.asarray(SEL), jnp.asarray(SELpick),
+        jnp.asarray(M8B["Uh"]), jnp.asarray(M8B["Ul"]),
+        jnp.asarray(M8B["Vh"]), jnp.asarray(M8B["Vl"]),
+        jnp.asarray(M8B["scales"]), jnp.asarray(M8B["crows"]),
+        jnp.asarray(u_nyq, jnp.float32).reshape(1, 512),
+        jnp.asarray(y512col[:512], jnp.float32).reshape(512, 1),
+        jnp.asarray(Jflip, jnp.float32),
+    ]
+    y512n = float(y512col[512])
+    const_specs = [
+        pl.BlockSpec(c.shape, lambda i: (0,) * c.ndim, memory_space=pltpu.VMEM)
+        for c in consts
+    ]
+    blk = pl.BlockSpec((F, 512), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    rpk = pl.BlockSpec((F, 8), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _make_full8_kernel(mode, y512n, F, L, emit_all),
+        out_shape=jax.ShapeDtypeStruct((T, 512), jnp.int16),
+        grid_spec=pl.GridSpec(
+            grid=(T // F,),
+            in_specs=const_specs + [blk, rpk],
+            out_specs=blk,
+            scratch_shapes=[
+                pltpu.VMEM((1, 512), jnp.int32),    # cprev
+                pltpu.VMEM((1, 512), jnp.float32),  # A0 carry
+                pltpu.VMEM((1, 1), jnp.float32),    # A0 nyquist carry
+                pltpu.VMEM((1, 512), jnp.float32),  # latched N carry
+                pltpu.VMEM((1, 1), jnp.float32),    # latched N nyquist carry
+                pltpu.VMEM((1, 512), jnp.float32),  # OLA tail carry
+            ],
+        ),
+        interpret=interpret,
+    )(*consts, cur, rowpack)
 
 
 def _make_back_kernel(mode: str, y512n: float):

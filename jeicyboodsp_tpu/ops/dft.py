@@ -32,6 +32,9 @@ PRECISIONS = {
     # a plain-XLA GEMM stands in for it (CPU fallback), HIGH matches its
     # accuracy class
     "mxu8": jax.lax.Precision.HIGH,
+    # mxu8f = the fully-fused single-kernel engine (fwd + in-kernel noise
+    # latch + inverse + OLA); same CPU-fallback class as mxu8
+    "mxu8f": jax.lax.Precision.HIGH,
     "mxu1": jax.lax.Precision.DEFAULT,
 }
 

@@ -231,6 +231,71 @@ def _noise_latch_closed_form(speech, mags, chunk: int = 64):
     return _noise_latch_parts(speech, (mags,), chunk=chunk)[0]
 
 
+def _latch_rowpack(speech, L: int = 64):
+    """Per-row latch scalars for the fully-fused kernel (engine mxu8f).
+
+    The closed form of :func:`_noise_latch_parts` needs only FOUR scalars
+    per row once the magnitudes live in VMEM: the chunk-local weight
+    w = c*2^lk, the rescale p = 2^-lk, the active latch row g (cummax of
+    latch positions, -1 before any latch), and p[g].  All derive from the
+    VAD flags alone -- (T,)-vector work, no (T, 512) planes.  Returns a
+    (T, 8) f32 pack: [w, p, g, p[g], 0, 0, 0, 0].
+    """
+    Tp = speech.shape[0]
+    assert Tp % L == 0, (Tp, L)
+    idx = jnp.arange(Tp)
+    noise = ~speech
+    last_speech = jax.lax.cummax(jnp.where(~noise, idx, -1))
+    cnt = jnp.where(noise, idx - last_speech, 0)
+    upd = noise & (cnt >= 2)
+    halve = upd & (cnt >= 3)
+    c = jnp.where(upd, jnp.where(cnt >= 3, 0.5, 1.0), 0.0).astype(jnp.float32)
+    k = jnp.cumsum(halve.astype(jnp.int32))
+    k2 = k.reshape(Tp // L, L)
+    lk = (
+        k2 - jnp.concatenate([jnp.zeros((1,), jnp.int32), k2[:-1, -1]])[:, None]
+    ).reshape(Tp)
+    w = c * jnp.exp2(lk.astype(jnp.float32))  # exact power-of-two scalings
+    p = jnp.exp2(-lk.astype(jnp.float32))
+    latch = upd & (cnt == NOISE_FRAMES)
+    g = jax.lax.cummax(jnp.where(latch, idx, -1))
+    pg = jnp.where(g >= 0, p[jnp.maximum(g, 0)], 0.0)
+    z = jnp.zeros_like(w)
+    return jnp.stack([w, p, g.astype(jnp.float32), pg, z, z, z, z], axis=1)
+
+
+def _enhance_fused_full(blocks, mode, emit_all, interpret=False, F: int = 256,
+                        L: int = 64):
+    """The one-kernel engine (mxu8f): VAD + latch scalars in XLA ((T,)-
+    vector work), EVERYTHING else -- forward int8 rDFT, noise latch, gain,
+    int8 inverse, lane-flip OLA, c_short -- in a single sequential-grid
+    Pallas kernel (kernels.enhance_pallas.enhance_full8_pallas).  HBM
+    traffic drops from ~5 plane round-trips (mxu8) to input + output +
+    an (T, 8) row pack."""
+    from jeicyboodsp_tpu.kernels import enhance_pallas as EP
+
+    T = blocks.shape[0]
+    M = _dft_mats_aligned()
+    J = np.zeros((512, 512), np.float32)
+    J[np.arange(511, 0, -1), np.arange(1, 512)] = 1.0
+    pad = (-T) % F
+    bp = (
+        jnp.concatenate([blocks, jnp.zeros((pad, BLOCK_LEN), blocks.dtype)], axis=0)
+        if pad else blocks
+    )
+    # pad rows are zero blocks -> VAD says speech (zcr 0 < 200), no latch
+    # updates -- identical latch state to the unpadded run
+    speech = vad_flags(bp, jnp.float32)
+    rowpack = _latch_rowpack(speech, L=L)
+    out_i = EP.enhance_full8_pallas(
+        bp, rowpack, _dft_mats_int8(), _dft_mats_int8_back(),
+        M["nyq"], M["u_nyq"], M["y512col"], J,
+        mode=mode, F=F, L=L, emit_all=emit_all, interpret=interpret,
+    )
+    write_mask = jnp.arange(T) >= 2
+    return out_i[:T], write_mask
+
+
 @functools.lru_cache(maxsize=None)
 def _dft_matrices():
     """Real-DFT (1024 -> 513 bins) and inverse matrices as numpy f32.
@@ -518,7 +583,8 @@ def _enhance_fused(blocks, mode, emit_all, interpret=False, F: int = 512):
     return out[:T], write_mask[:T]
 
 
-def _enhance_fast_mxu(blocks, mode, dtype, precision, emit_all, int8=False):
+def _enhance_fast_mxu(blocks, mode, dtype, precision, emit_all, int8=False,
+                      full=False):
     """The TPU speed path: 512-aligned GEMMs, symmetry-halved inverse,
     closed-form noise latch.  Same math as the generic path (ratio
     resynthesis) up to rounding; SNR contract asserted by tests/bench.
@@ -539,7 +605,11 @@ def _enhance_fast_mxu(blocks, mode, dtype, precision, emit_all, int8=False):
         # rate.  (r4 negative result: ALSO quantizing the inter-kernel
         # re/im/mag/ns planes to int16+rowscale measured ~15% SLOWER --
         # 5.87 vs 6.79 G -- the in-kernel rowmax reduces + i16 packing cost
-        # more than the saved bandwidth; planes stay f32.)
+        # more than the saved bandwidth; planes stay f32.)  mxu8f (full)
+        # goes further: the latch itself runs in-kernel and no plane ever
+        # reaches HBM.
+        if full:
+            return _enhance_fused_full(blocks, mode, emit_all, F=256)
         return _enhance_fused3(blocks, mode, emit_all, F=512, int8=int8)
     T = blocks.shape[0]
     M = _dft_mats_aligned()
@@ -630,7 +700,7 @@ def enhance_blocks(
 
         return _enhance_fast_mxu(
             blocks, mode, fdtype, precision_of(fft_engine), emit_all,
-            int8=(fft_engine == "mxu8"),
+            int8=(fft_engine == "mxu8"), full=(fft_engine == "mxu8f"),
         )
 
     prev = jnp.concatenate([jnp.zeros((1, BLOCK_LEN), blocks.dtype), blocks[:-1]], axis=0)

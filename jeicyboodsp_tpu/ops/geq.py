@@ -134,6 +134,50 @@ def geq_apply_fast(x, b, a, dtype=jnp.float32):
     return y
 
 
+@functools.partial(jax.jit, static_argnames=())
+def geq_apply_fast_qb(x, b, a):
+    """Fast mode with inter-band requantization on the FORWARD path only
+    (VERDICT r4 item 7) -- a MEASURED NEGATIVE result, kept as the record.
+
+    Hypothesis tested: quantizing each band's output to int16 before the
+    next band (7Band_GEQ.cpp:284) while keeping each band's own feedback
+    linear might preserve the audible requantization above 60 dB without
+    the bit-exact df32 cost.  Measured vs the f64 oracle (r5, 32k-sample
+    440 Hz + noise): 30.9 dB clean, ~0 dB with int16-wrap content -- the
+    44 Hz shelf's near-unity pole amplifies the <= 1 LSB feedback error
+    ~300x, and once the reference's quantized feedback wraps, the linear
+    feedback diverges completely.  Conclusion (documented in
+    docs/PERFORMANCE.md): the feedback quantization is essential; the
+    df32 kernel (geq_cascade_pallas_quant) is the only >= 60 dB engine,
+    and its r5 `groups` interleave is the speed path.
+
+    x: (..., N) int16-valued; returns (..., N) f32 holding int16 values.
+    Same per-sample DF-II-transposed op order as the Pallas kernel
+    (kernels.biquad_pallas._make_kernel(quant_boundaries=True)); used as
+    its CI replica.
+    """
+    b = jnp.asarray(b, jnp.float32)
+    a = jnp.asarray(a, jnp.float32)
+    xf = x.astype(jnp.float32)
+    lead = xf.shape[:-1]
+    xt = xf.reshape(-1, xf.shape[-1]).T  # (N, B)
+
+    def step(s, v):
+        s2 = []
+        for k in range(TOTAL_BANDS):
+            s0, s1 = s[2 * k], s[2 * k + 1]
+            y = b[k, 0] * v + s0
+            s2.append(b[k, 1] * v - a[k, 1] * y + s1)
+            s2.append(b[k, 2] * v - a[k, 2] * y)
+            ti = jnp.trunc(y).astype(jnp.int32)
+            v = (((ti + 0x8000) & 0xFFFF) - 0x8000).astype(jnp.float32)
+        return s2, v
+
+    init = [jnp.zeros(xt.shape[1], jnp.float32) for _ in range(2 * TOTAL_BANDS)]
+    _, y = jax.lax.scan(step, init, xt)
+    return y.T.reshape(lead + (y.shape[0],))
+
+
 def run_pallas_quant(x, gains_db=GAINS_DB, compat=True, interpret=False):
     """Whole-signal compat-mode GEQ on the TPU Pallas df32 kernel.
 

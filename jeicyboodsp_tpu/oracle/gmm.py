@@ -136,7 +136,12 @@ def em_step(frames: np.ndarray, p: GMMParams):
             )
         probs[:, k] = np.prod(terms, axis=1)
     w = probs * p.alpha[None, :]
-    w = w / w.sum(axis=1, keepdims=True)
+    # 0/0 -> NaN is the reference behavior when every mixture underflows
+    # (GMMAlgorithm_Train_Auto_ver2.cpp:270-284 divides by the raw sum with
+    # no guard); NaN rows then poison the accumulators exactly as the C
+    # code's do -- deliberate compat, not a bug.
+    with np.errstate(invalid="ignore"):
+        w = w / w.sum(axis=1, keepdims=True)
 
     # M-step: alpha/mean accumulate onto stale values (quirk :291,300)
     n_of_key = p.alpha + w.sum(axis=0)
@@ -187,12 +192,17 @@ def score_file(frames: np.ndarray, alpha, mean, cov_diag4, eigvec4) -> float:
         s = 0.0
         for k in range(NUM_OF_MIXTURE):
             xp = x @ eigvec4[k]
-            with np.errstate(invalid="ignore", divide="ignore"):
+            # "over" too: exp overflows to inf on near-singular diagonals,
+            # matching GMMAlgorithm_Test_Auto_ver2.cpp:216-235 (no guard)
+            with np.errstate(invalid="ignore", divide="ignore", over="ignore"):
                 terms = (
                     (1.0 / np.sqrt(2.0 * REF_PI))
                     * (1.0 / np.sqrt(cov_diag4[k]))
                     * np.exp(-0.5 * (xp - mean[k][:PCA_LEN_TEST]) ** 2 / cov_diag4[k])
                 )
             s += alpha[k] * float(np.prod(terms))
-        total += np.log(s)
+        # log(0) -> -inf with no guard, as the reference's log call
+        # (GMMAlgorithm_Test_Auto_ver2.cpp:233) -- deliberate compat
+        with np.errstate(divide="ignore"):
+            total += np.log(s)
     return total / len(frames)

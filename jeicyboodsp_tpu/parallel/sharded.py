@@ -219,6 +219,63 @@ def fastconv_sharded(blocks, Hr, Hi, mesh, dtype=jnp.float64, axis: str = "time"
     return run(blocks)
 
 
+def bnlms_sharded(x_blocks, ref_blocks, mesh, dtype=jnp.float64, axis: str = "data"):
+    """Stream-data-parallel BNLMS: (B, T, 1024) far/near blocks, B streams
+    sharded over ``axis``.  Each AEC session is an independent recursion
+    (BNLMS.cpp:103-162 keeps per-session statics), so the natural multi-chip
+    axis is sessions: shard_map runs the per-device vmap'd block scan with
+    zero collectives -- ICI stays idle, DCN only moves inputs/outputs.
+    Exact equal to vmapped ops.nlms.bnlms_apply (asserted in
+    tests/test_sharded.py).  Returns (est, err) as (B, T, 1024) int16."""
+    from jeicyboodsp_tpu.ops import nlms as NL
+
+    B = x_blocks.shape[0]
+    assert B % mesh.shape[axis] == 0, (B, mesh.shape)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=(P(axis), P(axis)),
+        out_specs=(P(axis), P(axis)),
+    )
+    def run(xl, rl):
+        st = jax.vmap(lambda _: NL.bnlms_init_state(dtype))(jnp.arange(xl.shape[0]))
+        # the zero init state is device-invariant; mark it varying over the
+        # mesh axis so the scan carry types match (shard_map vma rules)
+        st = jax.tree.map(lambda a: jax.lax.pvary(a, (axis,)), st)
+        est, err, _ = jax.vmap(
+            functools.partial(NL.bnlms_apply, dtype=dtype)
+        )(xl, rl, st)
+        return est, err
+
+    return run(x_blocks, ref_blocks)
+
+
+def nlms_sharded(x, ref, mesh, dtype=jnp.float64, axis: str = "data",
+                 compat: bool = True):
+    """Stream-data-parallel per-sample NLMS: (B, N) int16 far/near signals.
+
+    Same sharding story as :func:`bnlms_sharded` (independent sessions,
+    NormalLMS.cpp:96-130); the per-device work is the vmapped sample scan.
+    Returns (est, err) as (B, N) int16."""
+    from jeicyboodsp_tpu.ops import nlms as NL
+
+    B = x.shape[0]
+    assert B % mesh.shape[axis] == 0, (B, mesh.shape)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=(P(axis), P(axis)),
+        out_specs=(P(axis), P(axis)),
+    )
+    def run(xl, rl):
+        st = jax.vmap(lambda _: NL.nlms_init_state(dtype))(jnp.arange(xl.shape[0]))
+        st = jax.tree.map(lambda a: jax.lax.pvary(a, (axis,)), st)
+        est, err, _ = jax.vmap(
+            functools.partial(NL.nlms_apply, dtype=dtype, compat=compat)
+        )(xl, rl, st)
+        return est, err
+
+    return run(x, ref)
+
+
 def mvdr_sharded(blocks_l, blocks_r, mesh, d_time=0.0, dtype=jnp.float64, axis: str = "time"):
     """Time-sharded MVDR; exact equal to ops.mvdr.mvdr_blocks."""
     n_shards = mesh.shape[axis]

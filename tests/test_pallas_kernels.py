@@ -237,3 +237,17 @@ def test_enhance_fused_kernels_match_xla_path(rng, snr):
         e = np.asarray(out_8)[np.asarray(mask_8)].astype(np.float64).reshape(-1)
         s8 = 10 * np.log10((want ** 2).sum() / max(((want - e) ** 2).sum(), 1e-30))
         assert s8 >= 65.0, (mode, s8)
+        # fully-fused single-kernel engine (mxu8f): same int8 fwd/inverse as
+        # mxu8; the noise latch runs IN-kernel via exact power-of-two 0/1
+        # matmuls (M @ wm), so the only delta vs mxu8 is latch addition
+        # grouping -- +-1 LSB flips on a handful of samples
+        out_ff, mask_ff = E._enhance_fused_full(blocks, mode, emit_all=False,
+                                                interpret=True, F=8, L=4)
+        np.testing.assert_array_equal(np.asarray(mask_f), np.asarray(mask_ff))
+        dff = np.asarray(out_ff).astype(int) - np.asarray(out_8).astype(int)
+        assert np.abs(dff).max() <= 1 and (dff != 0).mean() < 0.01, (
+            mode, np.abs(dff).max(), (dff != 0).mean(),
+        )
+        f = np.asarray(out_ff)[np.asarray(mask_ff)].astype(np.float64).reshape(-1)
+        sff = 10 * np.log10((want ** 2).sum() / max(((want - f) ** 2).sum(), 1e-30))
+        assert sff >= 65.0, (mode, sff)

@@ -80,6 +80,48 @@ def test_fastconv_sharded_exact(rng):
     _assert_lsb_equal(np.asarray(want), got)
 
 
+def test_bnlms_sharded_exact(rng):
+    """Session-data-parallel BNLMS == vmapped single-device (bitwise: no
+    collectives touch the recursion, each session stays on one device)."""
+    import functools
+
+    from jeicyboodsp_tpu.ops import nlms as NL
+
+    B, T = 8, 4
+    far = np.clip(rng.normal(0, 2000, (B, T, 1024)), -32768, 32767).astype(np.int16)
+    near = np.clip(
+        0.5 * far + rng.normal(0, 100, (B, T, 1024)), -32768, 32767
+    ).astype(np.int16)
+    st = jax.vmap(lambda _: NL.bnlms_init_state(jnp.float64))(jnp.arange(B))
+    want_e, want_r, _ = jax.vmap(functools.partial(NL.bnlms_apply, dtype=jnp.float64))(
+        jnp.asarray(far), jnp.asarray(near), st
+    )
+    mesh = make_mesh((8,), ("data",))
+    got_e, got_r = S.bnlms_sharded(jnp.asarray(far), jnp.asarray(near), mesh)
+    np.testing.assert_array_equal(np.asarray(want_e), np.asarray(got_e))
+    np.testing.assert_array_equal(np.asarray(want_r), np.asarray(got_r))
+
+
+def test_nlms_sharded_exact(rng):
+    import functools
+
+    from jeicyboodsp_tpu.ops import nlms as NL
+
+    B, N = 8, 1024
+    far = np.clip(rng.normal(0, 2000, (B, N)), -32768, 32767).astype(np.int16)
+    near = np.clip(
+        0.5 * far + rng.normal(0, 100, (B, N)), -32768, 32767
+    ).astype(np.int16)
+    st = jax.vmap(lambda _: NL.nlms_init_state(jnp.float64))(jnp.arange(B))
+    want_e, want_r, _ = jax.vmap(
+        functools.partial(NL.nlms_apply, dtype=jnp.float64, compat=True)
+    )(jnp.asarray(far), jnp.asarray(near), st)
+    mesh = make_mesh((8,), ("data",))
+    got_e, got_r = S.nlms_sharded(jnp.asarray(far), jnp.asarray(near), mesh)
+    np.testing.assert_array_equal(np.asarray(want_e), np.asarray(got_e))
+    np.testing.assert_array_equal(np.asarray(want_r), np.asarray(got_r))
+
+
 def test_mvdr_sharded_exact(rng):
     n = 512 * 16
     t = np.arange(n) / 16000
