@@ -86,7 +86,13 @@ def main():
     # single-engine headline is fragile.  mxu3 (bf16x3, 90 dB) is the
     # compute-bound fallback; the headline is whichever is faster TODAY,
     # with its own SNR, and both rows ship in the JSON.
-    ENGINES = os.environ.get("BENCH_FFT_ENGINE", "mxu8,mxu3,mxu8f").split(",")
+    # mxu8f/mxu8: fully-fused / two-kernel int8 engines at the r5 fidelity
+    # tier (~84 dB, floor 78); mxu8t: the documented turbo tier (r4 4-dot
+    # arithmetic, ~70 dB, floor 65 -- still >= the 60 dB compat bar);
+    # mxu3: bf16x3 (90 dB), the compute-bound fallback for memory-slow days.
+    ENGINES = os.environ.get(
+        "BENCH_FFT_ENGINE", "mxu8f,mxu8,mxu8t,mxu3"
+    ).split(",")
 
     # --- SNR probe (compat contract, on the exact configs being benched) ---
     probe = make_signal(PROBE_T * 512, rng)

@@ -119,7 +119,8 @@ def tree_stamp() -> dict:
 KNOWN_ROWS = {
     "enhance", "enhance_wiener", "enhance_specsub", "geq", "fastconv",
     "bnlms", "bnlms_pallas", "mvdr", "mfcc", "fft", "fft_roundtrip",
-    "pitch", "pitch1", "pitch2", "pitch3", "nlms", "nlms_pallas", "lpc",
+    "pitch", "pitch1", "pitch2", "pitch3", "nlms", "nlms_pallas", "nlms_fast",
+    "lpc",
     "viterbi", "viterbi_decode", "viterbi_decode_batched",
     "speech", "speech_pipeline", "gmm", "gmm_train", "gmm_test", "latency",
 }
@@ -693,6 +694,25 @@ def main(groups=None):
             "tpu_sps": Bn * Tn / per,
             "cpp_sps": base,
             "kernel_exact_vs_oracle": bool((ge.astype(np.int64) == oe.astype(np.int64)).all()),
+        }
+
+        # fast mode (r5, VERDICT r4 item 8): single-dot estimate + O(1)
+        # df32 running window energy; df32 coefficient state retained
+        @partial(jax.jit, static_argnames=("k",))
+        def nl_chain_fast(xx, rr, k):
+            def body(i, acc):
+                e1, _ = nlms_pallas(acc, rr, fast=True)
+                return acc + (e1 & 1)
+
+            return jax.lax.fori_loop(0, k, body, xx)
+
+        per_f = amortized(lambda k: jax.device_get(nl_chain_fast(xn, rn, k)[0, :4]))
+        gf = np.asarray(nlms_pallas(jnp.asarray(xo[None]), jnp.asarray(ro[None]),
+                                    fast=True)[0])[0]
+        results["nlms_fast"] = {
+            "tpu_sps": Bn * Tn / per_f,
+            "cpp_sps": base,
+            "snr_db": snr_db(oe, gf),
         }
 
     # ---------------- LPC ----------------

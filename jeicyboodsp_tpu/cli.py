@@ -43,12 +43,14 @@ def main(argv=None):
     parser.add_argument(
         "--engine",
         default=None,
-        choices=["xla", "mxu", "mxu3", "mxu8", "mxu8f", "gemm", "gemm8"],
+        choices=["xla", "mxu", "mxu3", "mxu8", "mxu8f", "mxu8t", "gemm",
+                 "gemm8", "gemm8hq"],
         help="FFT engine for --fast pipelines that support it "
         "(mxu3 = 3-pass MXU matmul DFT; "
-        "mxu8 = enhance-only full-int8 fused kernels, 2x MAC rate, ~70 dB; "
+        "mxu8 = enhance-only full-int8 fused kernels, 2x MAC rate, ~84 dB; "
         "mxu8f = enhance-only fully-fused single kernel incl. the noise "
-        "latch, same ~70 dB class; "
+        "latch, same ~84 dB class; "
+        "mxu8t = the turbo tier of mxu8 (r4 4-dot arithmetic, ~70 dB); "
         "gemm = fastconv-only f32 banded-Toeplitz GEMM, no spectral "
         "round-trip; gemm8 = the int8-MXU Toeplitz GEMM, ~77 dB -- the "
         "fastconv --fast default)",

@@ -361,10 +361,13 @@ def geq_cascade_pallas_quant(x, coef_df, state=None, interpret: bool = False,
     if interpret:
         unroll = 1
         groups = 1
+    B, T = x.shape
+    # never pad the batch just to fill groups (a 1-stream CLI call should
+    # not cost 2048 padded streams)
+    groups = max(1, min(groups, -(-B // STREAMS)))
     tile_t = TILE_T // groups  # keep the VMEM window flat as groups grow
     if tile_t % unroll:
         raise ValueError(f"unroll must divide {tile_t}; got {unroll}")
-    B, T = x.shape
     Bp = -(-B // (groups * STREAMS)) * (groups * STREAMS)
     Tp = -(-T // tile_t) * tile_t
     xp = jnp.zeros((Bp, Tp), jnp.float32).at[:B, :T].set(x.astype(jnp.float32))

@@ -33,6 +33,8 @@ agree with the XLA path to bf16x3 rounding (~1e-6 relative).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -133,29 +135,39 @@ def _i8dot(a, b):
     )
 
 
-def _fwd8_plane(ph, plo, ch, cl, Whp, Wlp, Whc, Wlc, s1p, s2p, s1c, s2c, crow):
+def _fwd8_plane(ph, plo, ch, cl, Whp, Wlp, Whc, Wlc, s1p, s2p, s1c, s2c, crow,
+                hq: bool = True):
     """One spectral plane from int8-split data and int8-split bases.
 
     x = 256*xh + xl + 128 exactly (xh = floor(x/256), xl int8), and
     W ~= s1*Wh + s2*Wl per column, so
 
-        x @ W = s1*(256*(xh@Wh) + xl@Wh) + s2*256*(xh@Wl) + const_row
+        x @ W = s1*(256*(xh@Wh) + xl@Wh) + s2*(256*(xh@Wl) + xl@Wl)
+                + const_row
 
     with the +128 shift folded into const_row = 128*(s1*colsum(Wh) +
-    s2*colsum(Wl)) and the (xl@Wl) cross term dropped (~2^-22 relative).
-    256*(xh@Wh) + (xl@Wh) fits int32: |.| <= 256*128*127*512 + 128*127*512
-    = 2.139e9 < 2^31-1.  Measured 91 dB vs the f64 DFT (the bf16x3 kernel
-    measures 110 dB; the chain's observable stays >= 88 dB)."""
+    s2*colsum(Wl)).  All accumulators fit int32: |256*(xh@Wh) + xl@Wh| <=
+    256*128*127*512 + 128*127*512 = 2.139e9 < 2^31-1.  r5: the xl@Wl
+    cross term is INCLUDED -- dropping it was the chain's dominant error
+    (decomposed numerically: the re plane measured 75.9 dB without the
+    crosses, 93.6 dB with them; the old docstring's ~2^-22 estimate
+    ignored that the windowed bases' residual correlates with the data's
+    low byte across the 1024-sample contraction).  Cost: +2 of 10 int8
+    dots on the fwd half."""
     zh = 256 * _i8dot(ph, Whp) + _i8dot(plo, Whp)
     zc = 256 * _i8dot(ch, Whc) + _i8dot(cl, Whc)
-    rh = 256 * _i8dot(ph, Wlp)
-    rc = 256 * _i8dot(ch, Wlc)
+    if hq:
+        rh = 256 * _i8dot(ph, Wlp) + _i8dot(plo, Wlp)
+        rc = 256 * _i8dot(ch, Wlc) + _i8dot(cl, Wlc)
+    else:  # turbo: drop the lo-cross dots (the r4 arithmetic, ~70 dB)
+        rh = 256 * _i8dot(ph, Wlp)
+        rc = 256 * _i8dot(ch, Wlc)
     return (s1p * zh.astype(jnp.float32) + s2p * rh.astype(jnp.float32)
             + s1c * zc.astype(jnp.float32) + s2c * rc.astype(jnp.float32)
             + crow)
 
 
-def _fwd8_kernel(Whcp, Wlcp, Whcc, Wlcc, Whsp, Wlsp, Whsc, Wlsc,
+def _fwd8_kernel(hq, Whcp, Wlcp, Whcc, Wlcc, Whsp, Wlsp, Whsc, Wlsc,
                  scales, crows, nyp, nyc, w2row, cur_ref,
                  re_ref, im_ref, ren_ref, mag_ref, magn_ref, sp_ref, cprev):
     """Raw (F, 512) int16 blocks in; the exact int8 hi/lo split AND the
@@ -183,9 +195,9 @@ def _fwd8_kernel(Whcp, Wlcp, Whcc, Wlcc, Whsp, Wlsp, Whsc, Wlsc,
     ch, cl = split8(cur)
     s = scales[...]
     re = _fwd8_plane(ph, plo, ch, cl, Whcp[...], Wlcp[...], Whcc[...], Wlcc[...],
-                     s[0:1], s[1:2], s[2:3], s[3:4], crows[0:1])
+                     s[0:1], s[1:2], s[2:3], s[3:4], crows[0:1], hq=hq)
     im = _fwd8_plane(ph, plo, ch, cl, Whsp[...], Wlsp[...], Whsc[...], Wlsc[...],
-                     s[4:5], s[5:6], s[6:7], s[7:8], crows[1:2])
+                     s[4:5], s[5:6], s[6:7], s[7:8], crows[1:2], hq=hq)
     # Nyquist bin: rank-1 against the exact f32 block values (VPU-cheap)
     pf = prev.astype(jnp.float32)
     cf = cur.astype(jnp.float32)
@@ -203,7 +215,7 @@ def _fwd8_kernel(Whcp, Wlcp, Whcc, Wlcc, Whsp, Wlsp, Whsc, Wlsc,
 
 
 def enhance_fwd_int8_pallas(cur, M8, nyq, w2, F: int = 512,
-                            interpret: bool = False):
+                            interpret: bool = False, hq: bool = True):
     """int8-MXU forward rDFT: raw (T, 512) int16 blocks -> re, im, re_n,
     |X| planes, speech flags (same contract as :func:`enhance_fwd_pallas`).
 
@@ -230,7 +242,7 @@ def enhance_fwd_int8_pallas(cur, M8, nyq, w2, F: int = 512,
     blk = pl.BlockSpec((F, 512), lambda i: (i, 0), memory_space=pltpu.VMEM)
     col = pl.BlockSpec((F, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        _fwd8_kernel,
+        functools.partial(_fwd8_kernel, hq),
         out_shape=(
             jax.ShapeDtypeStruct((T, 512), jnp.float32),
             jax.ShapeDtypeStruct((T, 512), jnp.float32),
@@ -354,35 +366,56 @@ def enhance_back_ola3_pallas(re, im, re_n, ns512, ns_n, UC512, VS512, u_nyq,
     )(*consts, re, im, re_n, ns512, ns_n)
 
 
-def _quant_row_int8(Y):
-    """Per-row 16-bit quantization of a f32 plane into exact int8 hi/lo.
+def _quant_row_int8(Y, hq: bool = True):
+    """Per-row TWO-LEVEL quantization of a f32 plane into int8 planes.
 
-    Z = rint(Y * 32512/rowmax) is integer-valued in [-32512, 32512]
-    (32512 = 127*256: the next integer needs >= 0.5 of f32 error on a
-    2-rounding product, impossible), and Z = 256*h + l + 128 exactly with
-    int8 h, l.  The row scale q = rowmax/32512 factors out of the bin
-    contraction (scales ride the row axis, the GEMM contracts bins), so
-    dequantization is a post-GEMM broadcast multiply.  Quantization noise
-    is ~2^-16 of the row max -- the same error class as the int8 matrix
-    split (ops/dft.int8_col_split)."""
+    Level 1: Z = rint(Y * 32512/rowmax) is integer-valued in
+    [-32512, 32512] (32512 = 127*256: the next integer needs >= 0.5 of f32
+    error on a 2-rounding product, impossible), and Z = 256*h + l + 128
+    exactly with int8 h, l.  The row scale q = rowmax/32512 factors out of
+    the bin contraction (scales ride the row axis, the GEMM contracts
+    bins), so dequantization is a post-GEMM broadcast multiply.
+
+    Level 2 (r5): the level-1 residual R = Y - q*Z (|R| <= q/2) gets its
+    own int8 plane Z2 = rint(R * 127/rowmax2) with scale q2 <= q/254,
+    pushing quantization noise from ~2^-16 to ~2^-23 of the row max.  The
+    16-bit quantization was one of the two dominant ~75 dB error sources
+    in the r4 engine (numerically decomposed; the other was the dropped
+    lo-cross matrix term)."""
     m = jnp.max(jnp.abs(Y), axis=1, keepdims=True)
     ms = jnp.maximum(m, 1e-30)
     Z = jnp.rint(Y * (32512.0 / ms))
     h = jnp.floor(Z * (1.0 / 256.0))
     l = Z - 256.0 * h - 128.0
-    return h.astype(jnp.int8), l.astype(jnp.int8), ms * (1.0 / 32512.0)
+    q = ms * (1.0 / 32512.0)
+    if not hq:  # turbo: single-level (the r4 arithmetic, ~2^-16 of rowmax)
+        return h.astype(jnp.int8), l.astype(jnp.int8), q, None, None
+    R = Y - q * Z
+    m2 = jnp.maximum(jnp.max(jnp.abs(R), axis=1, keepdims=True), 1e-30)
+    Z2 = jnp.rint(R * (127.0 / m2))
+    return h.astype(jnp.int8), l.astype(jnp.int8), q, Z2.astype(jnp.int8), m2 * (1.0 / 127.0)
 
 
-def _inv_plane8(h, l, Wh, Wl, s1, s2, crow, q):
-    """q * (256h + l + 128) @ (s1*Wh + s2*Wl), dropping the l@Wl cross term
-    (~2^-22 relative).  int32-exact accumulation: |256*(h@Wh) + l@Wh| <=
-    256*512*127*127 + 512*128*127 = 2.139e9 < 2^31-1 (the fwd8 bound)."""
+def _inv_plane8(h, l, Wh, Wl, s1, s2, crow, q, z2=None, q2=None,
+                hq: bool = True):
+    """q * (256h + l + 128) @ (s1*Wh + s2*Wl) [+ q2 * z2 @ s1*Wh].
+
+    int32-exact accumulation: |256*(h@Wh) + l@Wh| <= 256*512*127*127 +
+    512*128*127 = 2.139e9 < 2^31-1 (the fwd8 bound).  r5: the l@Wl cross
+    term is included (dropping it cost ~4 dB on the chain observable --
+    same decomposition as _fwd8_plane), and the level-2 residual plane z2
+    contracts against Wh only (its Wl pairing is ~2^-8 of an already
+    ~2^-23 correction)."""
     z = 256 * _i8dot(h, Wh) + _i8dot(l, Wh)
-    r = 256 * _i8dot(h, Wl)
-    return q * (s1 * z.astype(jnp.float32) + s2 * r.astype(jnp.float32) + crow)
+    r = 256 * _i8dot(h, Wl) + (_i8dot(l, Wl) if hq else 0)
+    out = q * (s1 * z.astype(jnp.float32) + s2 * r.astype(jnp.float32) + crow)
+    if z2 is not None:
+        out = out + (q2 * s1) * _i8dot(z2, Wh).astype(jnp.float32)
+    return out
 
 
-def _make_back_ola8_kernel(mode: str, y512n: float, F: int, emit_all: bool):
+def _make_back_ola8_kernel(mode: str, y512n: float, F: int, emit_all: bool,
+                           hq: bool = True):
     """int8-MXU variant of _make_back_ola3_kernel: the two inverse GEMMs
     (Yre@UC, Yim@VS) run as int8 dots at 2x the bf16 MAC rate from
     per-row-quantized data (exact 2xint8 split, scales folded out) and
@@ -420,11 +453,13 @@ def _make_back_ola8_kernel(mode: str, y512n: float, F: int, emit_all: bool):
         Yre = re * g
         Yim = im * g
         Yren = ren * gn
-        hre, lre, qre = _quant_row_int8(Yre)
-        him, lim, qim = _quant_row_int8(Yim)
-        u = _inv_plane8(hre, lre, Uh[...], Ul[...], sv[0:1], sv[1:2], cr[0:1], qre)
+        hre, lre, qre, z2re, q2re = _quant_row_int8(Yre, hq=hq)
+        him, lim, qim, z2im, q2im = _quant_row_int8(Yim, hq=hq)
+        u = _inv_plane8(hre, lre, Uh[...], Ul[...], sv[0:1], sv[1:2], cr[0:1],
+                        qre, z2re, q2re, hq=hq)
         u = u + Yren * unyq[...]
-        vv = _inv_plane8(him, lim, Vh[...], Vl[...], sv[2:3], sv[3:4], cr[1:2], qim)
+        vv = _inv_plane8(him, lim, Vh[...], Vl[...], sv[2:3], sv[3:4], cr[1:2],
+                         qim, z2im, q2im, hq=hq)
         head = u - vv
         w2 = u + vv
         doth = lambda a, b: jax.lax.dot_general(
@@ -455,7 +490,8 @@ def _make_back_ola8_kernel(mode: str, y512n: float, F: int, emit_all: bool):
 
 def enhance_back_ola8_pallas(re, im, re_n, ns512, ns_n, M8B, u_nyq, y512col,
                              Jflip, mode: str = "wiener", F: int = 512,
-                             emit_all: bool = False, interpret: bool = False):
+                             emit_all: bool = False, interpret: bool = False,
+                             hq: bool = True):
     """int8-MXU gain + inverse + in-kernel flip/OLA/c_short.
 
     M8B: dict from ops.enhance._dft_mats_int8_back -- int8 splits of
@@ -485,7 +521,7 @@ def enhance_back_ola8_pallas(re, im, re_n, ns512, ns_n, M8B, u_nyq, y512col,
     blk = pl.BlockSpec((F, 512), lambda i: (i, 0), memory_space=pltpu.VMEM)
     col = pl.BlockSpec((F, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        _make_back_ola8_kernel(mode, y512n, F, emit_all),
+        _make_back_ola8_kernel(mode, y512n, F, emit_all, hq=hq),
         out_shape=jax.ShapeDtypeStruct((T, 512), jnp.int16),
         grid_spec=pl.GridSpec(
             grid=(T // F,),
@@ -503,7 +539,8 @@ def _hi_lo(x):
     return xh, x - xh
 
 
-def _make_full8_kernel(mode: str, y512n: float, F: int, L: int, emit_all: bool):
+def _make_full8_kernel(mode: str, y512n: float, F: int, L: int, emit_all: bool,
+                       hq: bool = True):
     """The fully-fused enhancement engine (mxu8f): forward int8 rDFT ->
     in-kernel noise latch -> gain -> int8 inverse -> OLA, one kernel, one
     pass over HBM (input blocks in, int16 samples out; re/im/|X|/ns planes
@@ -635,13 +672,15 @@ def _make_full8_kernel(mode: str, y512n: float, F: int, L: int, emit_all: bool):
         Yre = re * gn512
         Yim = im * gn512
         Yren = ren * gnn
-        hre, lre, qre = _quant_row_int8(Yre)
-        him, lim, qim = _quant_row_int8(Yim)
+        hre, lre, qre, z2re, q2re = _quant_row_int8(Yre, hq=hq)
+        him, lim, qim, z2im, q2im = _quant_row_int8(Yim, hq=hq)
         sv = bscales[...]
         cr = bcrows[...]
-        u = _inv_plane8(hre, lre, Uh[...], Ul[...], sv[0:1], sv[1:2], cr[0:1], qre)
+        u = _inv_plane8(hre, lre, Uh[...], Ul[...], sv[0:1], sv[1:2], cr[0:1],
+                        qre, z2re, q2re, hq=hq)
         u = u + Yren * unyq[...]
-        vv = _inv_plane8(him, lim, Vh[...], Vl[...], sv[2:3], sv[3:4], cr[1:2], qim)
+        vv = _inv_plane8(him, lim, Vh[...], Vl[...], sv[2:3], sv[3:4], cr[1:2],
+                         qim, z2im, q2im, hq=hq)
         head = u - vv
         w2 = u + vv
         y512 = doth(Yre, ycol[...]) + Yren * y512n
@@ -663,7 +702,8 @@ def _make_full8_kernel(mode: str, y512n: float, F: int, L: int, emit_all: bool):
 
 def enhance_full8_pallas(cur, rowpack, M8, M8B, nyq, u_nyq, y512col, Jflip,
                          mode: str = "wiener", F: int = 256, L: int = 64,
-                         emit_all: bool = False, interpret: bool = False):
+                         emit_all: bool = False, interpret: bool = False,
+                         hq: bool = True):
     """One-kernel enhancement chain: (T, 512) int16 blocks + (T, 8) latch
     row pack (from ops.enhance._latch_rowpack) -> (T, 512) int16 output.
 
@@ -703,7 +743,7 @@ def enhance_full8_pallas(cur, rowpack, M8, M8B, nyq, u_nyq, y512col, Jflip,
     blk = pl.BlockSpec((F, 512), lambda i: (i, 0), memory_space=pltpu.VMEM)
     rpk = pl.BlockSpec((F, 8), lambda i: (i, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        _make_full8_kernel(mode, y512n, F, L, emit_all),
+        _make_full8_kernel(mode, y512n, F, L, emit_all, hq=hq),
         out_shape=jax.ShapeDtypeStruct((T, 512), jnp.int16),
         grid_spec=pl.GridSpec(
             grid=(T // F,),

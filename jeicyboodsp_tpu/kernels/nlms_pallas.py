@@ -46,7 +46,11 @@ def _two_sum(a, b):
     return s, (a - (s - bb)) + (b - bb)
 
 
-def _kernel(x_ref, r_ref, est_ref, err_ref, W, V, C, CL):
+def _make_nlms_kernel(fast: bool):
+    return functools.partial(_nlms_kernel_impl, fast)
+
+
+def _nlms_kernel_impl(fast, x_ref, r_ref, est_ref, err_ref, W, V, C, CL, NRM):
     """The reference pairs the coefficients REVERSED in the estimate
     (c[255-j]*u[j+i], NormalLMS.cpp:113) but DIRECT in the update
     (c[j] += ...u[j+i], :125) -- a real quirk.  Keeping the window in both
@@ -57,7 +61,16 @@ def _kernel(x_ref, r_ref, est_ref, err_ref, W, V, C, CL):
     update g*w is ~1e-7 of |c| and plain-f32 accumulation swallows it at the
     ulp (the dominant divergence vs the f64 oracle, measured ~55 dB);
     two-sum accumulation carries the swallowed bits, leaving only the dot
-    products' own f32 rounding (~100 dB)."""
+    products' own f32 rounding (~100 dB).
+
+    ``fast`` (r5, VERDICT item 8): keep df32 ONLY where it buys fidelity --
+    the coefficient accumulator.  The estimate drops the cl dot (cl ~ 1e-7
+    of c: one (256, 128) multiply-reduce saved), and the window energy
+    becomes an O(1) df32 RUNNING accumulator (+x_t^2 - x_{t-256}^2 with
+    two-sum carry; the naive f32 running sum random-walks ~1e-4 relative
+    over 100k samples, the df32 one stays at the f64 class) replacing the
+    second (256, 128) reduce.  The per-term x^2 f32 rounding is identical
+    to the full reduce's; only summation error changes class (improves)."""
     t_idx = pl.program_id(1)
 
     @pl.when(t_idx == 0)
@@ -66,11 +79,13 @@ def _kernel(x_ref, r_ref, est_ref, err_ref, W, V, C, CL):
         V[:, :] = jnp.zeros_like(V)
         C[:, :] = jnp.zeros_like(C)
         CL[:, :] = jnp.zeros_like(CL)
+        NRM[:, :] = jnp.zeros_like(NRM)
 
     T = x_ref.shape[0]
 
     def step(t, _):
         xt = x_ref[t, :]
+        old = W[0, :]  # oldest sample, leaves the window this step
         W[:, :] = pltpu.roll(W[:, :], TAPS - 1, 0)  # == shift by -1
         W[TAPS - 1, :] = xt
         V[:, :] = pltpu.roll(V[:, :], 1, 0)
@@ -79,11 +94,21 @@ def _kernel(x_ref, r_ref, est_ref, err_ref, W, V, C, CL):
         v = V[:, :]
         c = C[:, :]
         cl = CL[:, :]
-        y = jnp.sum(c * v, axis=0) + jnp.sum(cl * v, axis=0)
+        if fast:
+            y = jnp.sum(c * v, axis=0)
+            d = xt * xt - old * old  # exact f32 difference of rounded squares
+            s_n, lo_n = _two_sum(NRM[0, :], d)
+            lo_n = lo_n + NRM[1, :]
+            hi_n = s_n + lo_n
+            NRM[1, :] = lo_n - (hi_n - s_n)
+            NRM[0, :] = hi_n
+            norm = hi_n
+        else:
+            y = jnp.sum(c * v, axis=0) + jnp.sum(cl * v, axis=0)
+            norm = jnp.sum(w * w, axis=0)
         y_s = _c_short_f32(y)
         est_ref[t, :] = y_s
         e = r_ref[t, :] - y_s
-        norm = jnp.sum(w * w, axis=0)
         err_ref[t, :] = _c_short_f32(e)
         g = (2.0 * MU) * e / (norm + EPS)
         # df += single: (hi, lo) = two_sum(hi, upd); lo' = lo + err, renorm
@@ -288,12 +313,16 @@ def bnlms_pallas(x, ref, interpret: bool = False):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def nlms_pallas(x, ref, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("interpret", "fast"))
+def nlms_pallas(x, ref, interpret: bool = False, fast: bool = False):
     """x, ref: (B, T) int16/float -> (est, err) (B, T) int16 (f32 compute).
 
     Matches oracle semantics except f32 accumulation (SNR-level equal);
-    every stream starts from zero coefficients.
+    every stream starts from zero coefficients.  ``fast`` drops the cl
+    estimate dot and replaces the window-energy reduce with an O(1) df32
+    running accumulator (see :func:`_nlms_kernel_impl`) -- the df32
+    COEFFICIENT state stays, so fidelity holds >= 60 dB (pinned in
+    tests/test_nlms.py) while the bit-exact contract is traded away.
     """
     B, T = x.shape
     Bp = -(-B // LANES) * LANES
@@ -303,7 +332,7 @@ def nlms_pallas(x, ref, interpret: bool = False):
 
     grid = (Bp // LANES, Tp // TILE_T)
     est, err = pl.pallas_call(
-        _kernel,
+        _make_nlms_kernel(fast),
         out_shape=(
             jax.ShapeDtypeStruct((Tp, Bp), jnp.float32),
             jax.ShapeDtypeStruct((Tp, Bp), jnp.float32),
@@ -323,6 +352,7 @@ def nlms_pallas(x, ref, interpret: bool = False):
                 pltpu.VMEM((TAPS, LANES), jnp.float32),
                 pltpu.VMEM((TAPS, LANES), jnp.float32),
                 pltpu.VMEM((TAPS, LANES), jnp.float32),
+                pltpu.VMEM((8, LANES), jnp.float32),  # norm hi/lo rows
             ],
         ),
         interpret=interpret,

@@ -33,8 +33,10 @@ PRECISIONS = {
     # accuracy class
     "mxu8": jax.lax.Precision.HIGH,
     # mxu8f = the fully-fused single-kernel engine (fwd + in-kernel noise
-    # latch + inverse + OLA); same CPU-fallback class as mxu8
+    # latch + inverse + OLA); mxu8t = the turbo tier (r4 4-dot arithmetic,
+    # ~70 dB, documented speed/fidelity trade); same CPU-fallback class
     "mxu8f": jax.lax.Precision.HIGH,
+    "mxu8t": jax.lax.Precision.HIGH,
     "mxu1": jax.lax.Precision.DEFAULT,
 }
 

@@ -265,7 +265,7 @@ def _latch_rowpack(speech, L: int = 64):
 
 
 def _enhance_fused_full(blocks, mode, emit_all, interpret=False, F: int = 256,
-                        L: int = 64):
+                        L: int = 64, hq: bool = True):
     """The one-kernel engine (mxu8f): VAD + latch scalars in XLA ((T,)-
     vector work), EVERYTHING else -- forward int8 rDFT, noise latch, gain,
     int8 inverse, lane-flip OLA, c_short -- in a single sequential-grid
@@ -290,7 +290,7 @@ def _enhance_fused_full(blocks, mode, emit_all, interpret=False, F: int = 256,
     out_i = EP.enhance_full8_pallas(
         bp, rowpack, _dft_mats_int8(), _dft_mats_int8_back(),
         M["nyq"], M["u_nyq"], M["y512col"], J,
-        mode=mode, F=F, L=L, emit_all=emit_all, interpret=interpret,
+        mode=mode, F=F, L=L, emit_all=emit_all, interpret=interpret, hq=hq,
     )
     write_mask = jnp.arange(T) >= 2
     return out_i[:T], write_mask
@@ -482,7 +482,7 @@ def _dft_mats_int8_back():
 
 
 def _enhance_fused3(blocks, mode, emit_all, interpret=False, F: int = 256,
-                    int8: bool = False):
+                    int8: bool = False, hq: bool = True):
     """Fused fast path v3 (the default TPU mxu3 path): u/vv contractions as
     in _enhance_fused, but the OLA (lane flip + shift + add + c_short)
     stays in-kernel via an exact 2-pass permutation GEMM (see
@@ -511,6 +511,7 @@ def _enhance_fused3(blocks, mode, emit_all, interpret=False, F: int = 256,
         # split AND the prev-row shift happen in VMEM (r4)
         re, im, re_n, mag512, mag_n, sp = EP.enhance_fwd_int8_pallas(
             bp, _dft_mats_int8(), M["nyq"], M["w2"], F=F, interpret=interpret,
+            hq=hq,
         )
     else:
         prev = jnp.concatenate([jnp.zeros((1, BLOCK_LEN), bp.dtype), bp[:-1]], axis=0)
@@ -529,7 +530,7 @@ def _enhance_fused3(blocks, mode, emit_all, interpret=False, F: int = 256,
         out_i = EP.enhance_back_ola8_pallas(
             re, im, re_n, ns512, ns_n,
             _dft_mats_int8_back(), M["u_nyq"], M["y512col"], J,
-            mode=mode, F=F, emit_all=emit_all, interpret=interpret,
+            mode=mode, F=F, emit_all=emit_all, interpret=interpret, hq=hq,
         )
         return out_i[:T], write_mask
     out_f = EP.enhance_back_ola3_pallas(
@@ -584,7 +585,7 @@ def _enhance_fused(blocks, mode, emit_all, interpret=False, F: int = 512):
 
 
 def _enhance_fast_mxu(blocks, mode, dtype, precision, emit_all, int8=False,
-                      full=False):
+                      full=False, hq=True):
     """The TPU speed path: 512-aligned GEMMs, symmetry-halved inverse,
     closed-form noise latch.  Same math as the generic path (ratio
     resynthesis) up to rounding; SNR contract asserted by tests/bench.
@@ -609,8 +610,8 @@ def _enhance_fast_mxu(blocks, mode, dtype, precision, emit_all, int8=False,
         # goes further: the latch itself runs in-kernel and no plane ever
         # reaches HBM.
         if full:
-            return _enhance_fused_full(blocks, mode, emit_all, F=256)
-        return _enhance_fused3(blocks, mode, emit_all, F=512, int8=int8)
+            return _enhance_fused_full(blocks, mode, emit_all, F=256, hq=hq)
+        return _enhance_fused3(blocks, mode, emit_all, F=512, int8=int8, hq=hq)
     T = blocks.shape[0]
     M = _dft_mats_aligned()
     WC, WS = jnp.asarray(M["WC"], dtype), jnp.asarray(M["WS"], dtype)
@@ -700,7 +701,9 @@ def enhance_blocks(
 
         return _enhance_fast_mxu(
             blocks, mode, fdtype, precision_of(fft_engine), emit_all,
-            int8=(fft_engine == "mxu8"), full=(fft_engine == "mxu8f"),
+            int8=fft_engine in ("mxu8", "mxu8t"),
+            full=(fft_engine == "mxu8f"),
+            hq=(fft_engine != "mxu8t"),
         )
 
     prev = jnp.concatenate([jnp.zeros((1, BLOCK_LEN), blocks.dtype), blocks[:-1]], axis=0)
@@ -807,9 +810,16 @@ def run_stream(
     if rem:
         last = np.concatenate([x[T * BLOCK_LEN :], blocks[-1][rem:] if T else np.zeros(BLOCK_LEN - rem, np.int16)])
         blocks = np.concatenate([blocks, last[None]], axis=0)
+    # mxu engines: ratio resynthesis is the documented fast-path contract
+    # (identical values to trig up to rounding, incl. the NaN cases) AND the
+    # gate for the fused kernels -- without it, --engine mxu8* silently fell
+    # back to plain-XLA GEMMs (r5 surface-verification catch: the CLI read
+    # 109 dB where the int8 engines measure ~84)
+    resynth = "ratio" if fft_engine.startswith("mxu") else "trig"
     out, mask = enhance_blocks(
         jnp.asarray(blocks), mode=mode, dtype=dtype, use_assoc_scan=use_assoc_scan,
         real_fft=fft_engine.startswith("mxu"), fft_engine=fft_engine,
+        resynth=resynth,
     )
     out = np.asarray(out)
     mask = np.asarray(mask)

@@ -94,10 +94,11 @@ def run_checks() -> dict:
     results["enhance_mxu3_snr_db"] = round(float(snr), 1)
     results["enhance_mxu3_snr_ok"] = bool(snr >= 85.0)
 
-    # --- mxu8 (int8 fwd + int8 back) engine: documented floor 65 dB ---
-    # (per-engine fidelity contract, tests/test_engine_matrix.py; measured
-    # ~69-73 dB -- the int8 matrix splits + per-row spectrum quantization
-    # are each ~2^-16, amplified through the Wiener gain nonlinearity)
+    # --- mxu8 (int8 fwd + int8 back) engine: documented floor 78 dB ---
+    # (per-engine fidelity contract, tests/test_engine_matrix.py; ~84 dB
+    # measured since r5 -- the dropped lo-cross dots and the 16-bit row
+    # quantization were the two dominant ~75 dB error sources, fixed by
+    # including the crosses and a 2-level row quantization)
     out8, mask8 = enhance_blocks(
         jnp.asarray(probe.reshape(T, 512)), mode="wiener", dtype=jnp.float32,
         use_assoc_scan=True, real_fft=True, resynth="ratio", fft_engine="mxu8",
@@ -106,7 +107,31 @@ def run_checks() -> dict:
     err8 = want_w - got_8
     snr8 = 10 * np.log10(np.sum(want_w**2) / max(np.sum(err8**2), 1e-30))
     results["enhance_mxu8_snr_db"] = round(float(snr8), 1)
-    results["enhance_mxu8_snr_ok"] = bool(snr8 >= 65.0)
+    results["enhance_mxu8_snr_ok"] = bool(snr8 >= 78.0)
+
+    # --- mxu8f (single-kernel engine, in-kernel noise latch): same int8
+    # arithmetic and floor as mxu8; additionally proves the in-kernel
+    # latch's power-of-two M-matmul formulation on real Mosaic codegen ---
+    outf, maskf = enhance_blocks(
+        jnp.asarray(probe.reshape(T, 512)), mode="wiener", dtype=jnp.float32,
+        use_assoc_scan=True, real_fft=True, resynth="ratio", fft_engine="mxu8f",
+    )
+    got_f = np.asarray(outf)[np.asarray(maskf)].reshape(-1).astype(np.float64)
+    errf = want_w - got_f
+    snrf = 10 * np.log10(np.sum(want_w**2) / max(np.sum(errf**2), 1e-30))
+    results["enhance_mxu8f_snr_db"] = round(float(snrf), 1)
+    results["enhance_mxu8f_snr_ok"] = bool(snrf >= 78.0)
+
+    # --- mxu8t (turbo tier: the r4 4-dot arithmetic): floor 65 dB ---
+    outt, maskt = enhance_blocks(
+        jnp.asarray(probe.reshape(T, 512)), mode="wiener", dtype=jnp.float32,
+        use_assoc_scan=True, real_fft=True, resynth="ratio", fft_engine="mxu8t",
+    )
+    got_t = np.asarray(outt)[np.asarray(maskt)].reshape(-1).astype(np.float64)
+    errt = want_w - got_t
+    snrt = 10 * np.log10(np.sum(want_w**2) / max(np.sum(errt**2), 1e-30))
+    results["enhance_mxu8t_snr_db"] = round(float(snrt), 1)
+    results["enhance_mxu8t_snr_ok"] = bool(snrt >= 65.0)
 
     # --- mxu1 exclusion guard: 1-pass bf16 is documented BELOW the 60 dB
     # compat bar (ops/dft.py) and therefore not CLI-reachable; if this ever
@@ -154,12 +179,21 @@ def run_checks() -> dict:
     ).astype(np.int16)
     want_fc = ofc.run(xfc).astype(np.float64)
     got_fc = np.asarray(
-        fastconv_blocks_gemm_int8(jnp.asarray(xfc.reshape(-1, 1024)))
+        fastconv_blocks_gemm_int8(jnp.asarray(xfc.reshape(-1, 1024)), terms=2)
     ).reshape(-1).astype(np.float64)
     err_fc = want_fc - got_fc
     snr_fc = 10 * np.log10(np.sum(want_fc**2) / max(np.sum(err_fc**2), 1e-30))
     results["fastconv_gemm8_snr_db"] = round(float(snr_fc), 1)
     results["fastconv_gemm8_snr_ok"] = bool(snr_fc >= 70.0)
+
+    # --- 3-term variant (gemm8hq, the r5 --fast default): floor 85 dB ---
+    got_hq = np.asarray(
+        fastconv_blocks_gemm_int8(jnp.asarray(xfc.reshape(-1, 1024)), terms=3)
+    ).reshape(-1).astype(np.float64)
+    err_hq = want_fc - got_hq
+    snr_hq = 10 * np.log10(np.sum(want_fc**2) / max(np.sum(err_hq**2), 1e-30))
+    results["fastconv_gemm8hq_snr_db"] = round(float(snr_hq), 1)
+    results["fastconv_gemm8hq_snr_ok"] = bool(snr_hq >= 85.0)
 
     # --- Pallas AMDF: pitch lags exactly equal to the oracle ---
     from jeicyboodsp_tpu.oracle import pitch as opitch

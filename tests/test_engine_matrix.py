@@ -11,9 +11,10 @@ Two lanes:
   the TPU rounding);
 - the fused Pallas kernels in interpret mode (bf16 splits and int8
   quantization evaluated literally), which carry the TRUE TPU floors:
-  mxu3-fused >= 85 dB, mxu8 (int8 fwd+back) >= 65 dB.  The on-hardware
-  re-check of the same floors lives in utils/tpu_checks.py and runs with
-  every driver bench.
+  mxu3-fused >= 85 dB, mxu8/mxu8f (int8 fwd+back) >= 78 dB (r5: the
+  lo-cross dots + 2-level row quantization lifted the int8 engines from
+  ~70 to ~84 dB measured).  The on-hardware re-check of the same floors
+  lives in utils/tpu_checks.py and runs with every driver bench.
 
 The mxu1 (1-pass bf16) engine is EXCLUDED from the CLI because it lands
 below the 60 dB compat bar on TPU; CPU ignores DEFAULT-precision rounding
@@ -61,8 +62,11 @@ def test_enhance_engine_floor(probe, mode, engine, floor):
         # fused bf16x3 (the TPU mxu3 path): measured ~92.6 dB on this probe
         (dict(), 85.0),
         # full int8 engine (mxu8: int8-split fwd + per-row-quantized
-        # inverse): ~69.5 dB
-        (dict(int8=True), 65.0),
+        # inverse): ~84 dB since r5 (lo-cross dots + 2-level row quant)
+        (dict(int8=True), 78.0),
+        # turbo tier (mxu8t: the r4 4-dot arithmetic): ~70 dB -- an
+        # explicit speed/fidelity trade, documented and floor-pinned
+        (dict(int8=True, hq=False), 65.0),
     ],
 )
 @pytest.mark.parametrize("mode", ["wiener", "specsub"])
@@ -79,6 +83,21 @@ def test_enhance_fused_kernel_floor(probe, mode, kw, floor):
     )
     got = np.asarray(out)[np.asarray(mask)].reshape(-1)
     assert snr_db(want, got) >= floor
+
+
+@pytest.mark.parametrize("mode", ["wiener", "specsub"])
+def test_enhance_fused_full_kernel_floor(probe, mode):
+    """mxu8f (single-kernel engine incl. the in-kernel noise latch): same
+    int8 arithmetic as mxu8, same >= 78 dB contract."""
+    from jeicyboodsp_tpu.oracle import enhance as oenh
+    from jeicyboodsp_tpu.ops import enhance as E
+
+    want = oenh.run(probe, mode).astype(np.float64)
+    out, mask = E._enhance_fused_full(
+        jnp.asarray(probe.reshape(-1, 512)), mode, False, interpret=True, F=8, L=4
+    )
+    got = np.asarray(out)[np.asarray(mask)].reshape(-1)
+    assert snr_db(want, got) >= 78.0
 
 
 @pytest.mark.parametrize("engine,floor", [("xla", 80.0), ("mxu", 80.0), ("mxu3", 80.0)])
@@ -107,10 +126,15 @@ def test_mfcc_engine_floor(probe, engine, floor):
 
 @pytest.mark.parametrize(
     "engine,floor",
-    [("auto", 70.0), ("xla", 88.0), ("mxu3", 88.0), ("gemm", 95.0),
-     # int8 Toeplitz GEMM (the --fast default): operator-split residual
-     # bounds it (~76.6 dB measured; the 3-dot form without l@Ml was 54.6)
-     ("gemm8", 70.0)],
+    [("auto", 85.0), ("xla", 88.0), ("mxu3", 88.0), ("gemm", 95.0),
+     # 2-term int8 Toeplitz GEMM: operator-split residual bounds it
+     # (~76.6-84.9 dB measured; the 3-dot form without l@Ml was 54.6)
+     ("gemm8", 70.0),
+     # 3-term form (r5, the --fast default): 5th dot recaptures the
+     # operator residual -- +21 dB over gemm8 per the numpy decomposition;
+     # 86.3 dB on this probe (the residual-free floor: output int16
+     # truncation flips on the low-level segments)
+     ("gemm8hq", 85.0)],
 )
 def test_fastconv_engine_floor(probe, engine, floor):
     from jeicyboodsp_tpu.oracle import fastconv as ofc

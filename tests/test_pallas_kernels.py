@@ -103,6 +103,17 @@ def test_nlms_pallas_matches_oracle(rng, snr):
     # double-single coefficient state makes the kernel bit-exact vs the
     # f64 oracle (plain-f32 coeff accumulation was the ~55 dB error floor)
     assert (got_e.astype(np.int64) == want_e.astype(np.int64)).all()
+    # fast mode (r5, VERDICT item 8): single-dot estimate + O(1) df32
+    # running window energy; the df32 COEFFICIENT accumulator (the 55 dB
+    # culprit) stays, so the observable holds far above the 60 dB bar
+    # (measured truncation-identical on this probe)
+    est_f, _ = nlms_pallas(jnp.asarray(x[None]), jnp.asarray(ref[None]),
+                           interpret=True, fast=True)
+    got_f = np.asarray(est_f)[0].astype(np.float64)
+    w = want_e.astype(np.float64)
+    s = 10 * np.log10(max((w ** 2).sum(), 1e-30) /
+                      max(((w - got_f) ** 2).sum(), 1e-30))
+    assert s >= 60.0, s
 
 
 def test_bnlms_pallas_matches_oracle(rng):
