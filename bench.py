@@ -90,8 +90,10 @@ def main():
     # tier (~84 dB, floor 78); mxu8t: the documented turbo tier (r4 4-dot
     # arithmetic, ~70 dB, floor 65 -- still >= the 60 dB compat bar);
     # mxu3: bf16x3 (90 dB), the compute-bound fallback for memory-slow days.
+    # ordered by headline likelihood (mxu8t won the r5 A/B) so the soft
+    # deadline below degrades gracefully
     ENGINES = os.environ.get(
-        "BENCH_FFT_ENGINE", "mxu8f,mxu8,mxu8t,mxu3"
+        "BENCH_FFT_ENGINE", "mxu8t,mxu8f,mxu8,mxu3"
     ).split(",")
 
     # --- SNR probe (compat contract, on the exact configs being benched) ---
@@ -137,21 +139,31 @@ def main():
     # between runs and a one-off stall inside t1 once inflated the headline
     # 10x.  51 iterations (~90 ms) puts the jitter below a few percent.
     # Points for the engines are interleaved so day/tunnel drift hits all
-    # engines alike.
+    # engines alike.  A soft deadline guards against the observed remote-
+    # compile-helper stall class (one r5 run took >15 min where the normal
+    # 4-engine bench takes ~3.5): once past the deadline, remaining engines
+    # are skipped so the driver always gets a JSON line.
+    t_start = time.perf_counter()
+    deadline = float(os.environ.get("BENCH_DEADLINE_S", "1200"))
+    engines_run = []
     for eng in ENGINES:
         timed(eng, 1), timed(eng, 51)  # compile + warm both windows
-    t1 = {e: [] for e in ENGINES}
-    tn = {e: [] for e in ENGINES}
+        engines_run.append(eng)
+        if time.perf_counter() - t_start > deadline and len(engines_run) >= 1:
+            break
+    t1 = {e: [] for e in engines_run}
+    tn = {e: [] for e in engines_run}
     for _ in range(2):
-        for eng in ENGINES:
+        for eng in engines_run:
             t1[eng].append(timed(eng, 1))
-        for eng in ENGINES:
+        for eng in engines_run:
             tn[eng].append(timed(eng, 51))
     sps_by = {
-        e: BENCH_T * 512 / ((min(tn[e]) - min(t1[e])) / 50) for e in ENGINES
+        e: BENCH_T * 512 / ((min(tn[e]) - min(t1[e])) / 50) for e in engines_run
     }
-    best = max(ENGINES, key=lambda e: sps_by[e])
+    best = max(engines_run, key=lambda e: sps_by[e])
     sps, snr_db = sps_by[best], snr[best]
+    ENGINES = engines_run
 
     baseline = measure_cpp_baseline(make_signal(FS * 60, rng))
     vs = sps / baseline if baseline else None

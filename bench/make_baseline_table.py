@@ -58,7 +58,15 @@ def render(results: dict) -> str:
         rows.append((config, tpu, pct, speed, fidelity))
 
     v = r["enhance_wiener"]
-    add("Wiener enhancement (headline, full-int8 mxu8)", v, _g(v["tpu_sps"]), _pct(v), _x(v), _snr(v))
+    add("Wiener enhancement (full-int8 mxu8, r5 fidelity tier)", v, _g(v["tpu_sps"]), _pct(v), _x(v), _snr(v))
+    if v.get("tpu_sps_mxu8t"):
+        add("Wiener enhancement (mxu8t turbo tier -- the bench A/B headline candidate)", v,
+            _g(v["tpu_sps_mxu8t"]), _pct(v, "_mxu8t"),
+            f"{v['tpu_sps_mxu8t'] / v['cpp_sps']:.0f}x", _snr(v, "snr_db_mxu8t"))
+    if v.get("tpu_sps_mxu8f"):
+        add("Wiener enhancement (mxu8f fully-fused single kernel incl. noise latch)", v,
+            _g(v["tpu_sps_mxu8f"]), _pct(v, "_mxu8f"),
+            f"{v['tpu_sps_mxu8f'] / v['cpp_sps']:.0f}x", _snr(v, "snr_db_mxu8f"))
     if v.get("tpu_sps_mxu3"):
         add("Wiener enhancement (bf16x3 mxu3 engine)", v, _g(v["tpu_sps_mxu3"]),
             _pct(v, "_mxu3"), f"{v['tpu_sps_mxu3'] / v['cpp_sps']:.0f}x",
@@ -80,10 +88,15 @@ def render(results: dict) -> str:
         _pct(v, "_gemm"), f"{v['tpu_sps_gemm'] / v['cpp_sps']:.0f}x",
         _snr(v, "snr_db_gemm"))
     if v.get("tpu_sps_gemm8"):
-        add("Fast conv, int8 Toeplitz GEMM (the --fast default engine)", v,
+        add("Fast conv, int8 Toeplitz GEMM (gemm8 turbo tier)", v,
             _g(v["tpu_sps_gemm8"]),
             _pct(v, "_gemm8"), f"{v['tpu_sps_gemm8'] / v['cpp_sps']:.0f}x",
             _snr(v, "snr_db_gemm8"))
+    if v.get("tpu_sps_gemm8hq"):
+        add("Fast conv, 3-term int8 Toeplitz GEMM (gemm8hq, the --fast default)", v,
+            _g(v["tpu_sps_gemm8hq"]),
+            _pct(v, "_gemm8hq"), f"{v['tpu_sps_gemm8hq'] / v['cpp_sps']:.0f}x",
+            _snr(v, "snr_db_gemm8hq"))
     v = r["nlms_pallas"]
     add("Per-sample NLMS (1024 streams, df32 Pallas)", v, _g(v["tpu_sps"]), _pct(v), _x(v),
         "bit-exact" if v.get("kernel_exact_vs_oracle") else "NOT EXACT")

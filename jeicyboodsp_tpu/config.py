@@ -22,22 +22,38 @@ ENGINE_FIDELITY = {
     ("enhance", "mxu"): dict(floor=90.0, typ=100.0, note="bf16x6 matmul DFT"),
     ("enhance", "mxu3"): dict(floor=85.0, typ=90.0, note="bf16x3 fused Pallas"),
     ("enhance", "mxu8"): dict(
-        floor=65.0, typ=69.5,
+        floor=78.0, typ=83.8,
         note="full-int8 fused Pallas: int8-split fwd rDFT + per-row-quantized "
-             "int8 inverse; each split is ~2^-16, amplified through the "
-             "Wiener gain nonlinearity",
+             "int8 inverse.  r5 tier: lo-cross dots included + 2-level row "
+             "quantization (the r4 ~70 dB came from dropping them)",
+    ),
+    ("enhance", "mxu8f"): dict(
+        floor=78.0, typ=83.8,
+        note="fully-fused single kernel (in-kernel noise latch as exact "
+             "power-of-two 0/1 matmuls); same int8 arithmetic as mxu8",
+    ),
+    ("enhance", "mxu8t"): dict(
+        floor=65.0, typ=69.7,
+        note="turbo tier: the r4 4-dot/1-level arithmetic on the fused-full "
+             "kernel -- an explicit speed/fidelity trade, ~20% faster than "
+             "the 78-floor tier (the usual A/B headline winner, ~7.0 G)",
     ),
     ("enhance", "mxu1"): dict(
         floor=None, typ=52.0, note="1-pass bf16: BELOW the 60 dB bar; "
         "excluded from the CLI (guarded by tpu_checks mxu1_below_bar)",
     ),
-    # fastconv (--fast default engine: gemm8)
+    # fastconv (--fast default engine: gemm8hq since r5)
     ("fastconv", "xla"): dict(floor=88.0, typ=96.6, note="tiled rfft"),
     ("fastconv", "gemm"): dict(floor=95.0, typ=107.0, note="f32 Toeplitz GEMM"),
     ("fastconv", "gemm8"): dict(
-        floor=70.0, typ=76.6,
-        note="int8 Toeplitz GEMM (4-dot), the --fast default: bounded by "
+        floor=70.0, typ=78.0,
+        note="int8 Toeplitz GEMM (4-dot) turbo tier: bounded by "
              "the operator-split residual -- the sparse RIR concentrates it",
+    ),
+    ("fastconv", "gemm8hq"): dict(
+        floor=85.0, typ=90.3,
+        note="3-term int8 Toeplitz GEMM (5th dot recaptures the operator "
+             "residual), the --fast default since r5",
     ),
     # mvdr / mfcc (engine changes only the DFT GEMM passes)
     ("mvdr", "mxu3"): dict(floor=80.0, typ=90.0, note="theta=0 collapse is exact"),

@@ -699,10 +699,14 @@ def enhance_blocks(
     if fft_engine.startswith("mxu") and resynth == "ratio":
         from jeicyboodsp_tpu.ops.dft import precision_of
 
+        # engine tiers: mxu8 = two-kernel int8 (hq); mxu8f = fully-fused
+        # single kernel (hq); mxu8t = fully-fused TURBO (r5b sweep: the
+        # fused-full turbo form measured 7.06 G vs 7.03 for the two-kernel
+        # turbo and 6.3 at F=512 -- F=256 fused-full is the fastest shape)
         return _enhance_fast_mxu(
             blocks, mode, fdtype, precision_of(fft_engine), emit_all,
             int8=fft_engine in ("mxu8", "mxu8t"),
-            full=(fft_engine == "mxu8f"),
+            full=fft_engine in ("mxu8f", "mxu8t"),
             hq=(fft_engine != "mxu8t"),
         )
 

@@ -81,19 +81,39 @@ def enhance_mxu3_roofline(block=512, fft=1024, passes=3) -> Roofline:
 
 
 def enhance_mxu8_roofline(block=512, fft=1024) -> Roofline:
-    """Full-int8 fused engine (mxu8), per block.  MXU (bf16-equivalent; int8
-    dots count 0.5x): fwd 2 planes x 2 parts x 3 dots x 512x512 int8-MACs =
-    1.57 M equiv; inverse 2 planes x 3 dots = 0.79 M; J lane-flip 2 bf16
-    passes = 0.52 M -> ~2.9 M equiv-MACs = 5.8 M hw flops/block ~= 15 ns.
-    HBM (the binding side): fwd reads the int16 block and writes re/im/mag
-    f32 planes (10 KB); the closed-form latch makes ~5 passes over the mag/
-    intermediate/ns planes (10 KB); the back kernel reads re/im/ns (6 KB)
-    and writes int16 out (1 KB) -> ~27 KB/block ~= 33 ns.  The engine is
-    MEMORY-bound: the int8 MACs moved the compute floor below the plane
-    traffic (obsoleting r3's "GEMM floor" argument for the bf16x3 engine)."""
+    """Full-int8 fused engine (mxu8) at the r5 fidelity tier, per block.
+    MXU (bf16-equivalent; int8 dots count 0.5x): fwd 2 planes x 2 parts x
+    4 dots (incl. the lo-cross terms) = 16 int8 dots; inverse 2 planes x
+    (4 dots + the level-2 residual dot) = 10; J lane-flip 2 bf16 passes.
+    HBM: fwd reads the int16 block and writes re/im/mag f32 planes (10 KB);
+    the closed-form latch makes ~5 passes over the mag/intermediate/ns
+    planes (10 KB); the back kernel reads re/im/ns (6 KB) and writes int16
+    out (1 KB) -> ~27 KB/block.  Near the compute/memory knee since the r5
+    fidelity dots (+6) -- the r4 4-dot tier (mxu8t) sits clearly on the
+    memory side."""
+    macs_equiv = 0.5 * (16 + 10) * 512 * 512 + 2 * 512 * 512
+    flops = 2 * macs_equiv
+    bytes_ = block * 2 + 3 * fft // 2 * 4 * 2 + 5 * fft // 2 * 4 * 2 + 3 * 512 * 4 + block * 2
+    return Roofline(flops, bytes_, block, unit="mxu")
+
+
+def enhance_mxu8t_roofline(block=512, fft=1024) -> Roofline:
+    """Turbo tier (mxu8t): the r4 4-dot arithmetic -- fwd 2x2x3 = 12 int8
+    dots, inverse 2x3 = 6, J 2 bf16 passes; same plane traffic as mxu8."""
     macs_equiv = 0.5 * (12 + 6) * 512 * 512 + 2 * 512 * 512
     flops = 2 * macs_equiv
     bytes_ = block * 2 + 3 * fft // 2 * 4 * 2 + 5 * fft // 2 * 4 * 2 + 3 * 512 * 4 + block * 2
+    return Roofline(flops, bytes_, block, unit="mxu")
+
+
+def enhance_mxu8f_roofline(block=512, fft=1024) -> Roofline:
+    """Fully-fused single-kernel engine (mxu8f): mxu8's r5 dot counts plus
+    the in-kernel latch (2 bf16 M-matmul passes + skinny selector dots);
+    HBM collapses to input + VAD read + (T, 8) rowpack + int16 out -- no
+    plane ever leaves VMEM."""
+    macs_equiv = 0.5 * (16 + 10) * 512 * 512 + 2 * 512 * 512 + 2 * 512 * 512
+    flops = 2 * macs_equiv
+    bytes_ = block * 2 * 2 + 8 * 4 + block * 2  # input (kernel + VAD), rowpack, out
     return Roofline(flops, bytes_, block, unit="mxu")
 
 
@@ -105,12 +125,19 @@ def fastconv_roofline(block=1024, fft=8192, dtype_bytes=4) -> Roofline:
     return Roofline(flops, bytes_, block, unit="vpu")
 
 
-def fastconv_gemm8_roofline(block=1024, seg=8192, batch=2048) -> Roofline:
-    """int8 Toeplitz engine: 4 s8xs8 dots (= 2.0 bf16-equivalent passes) of
-    (T,8192)@(8192,1024) per hop; HBM as the f32 GEMM but int8 segments."""
-    flops = 2 * 2 * seg * block  # bf16-equivalent
-    bytes_ = (seg + block) * 2 + 2 * seg * block * 1 / batch
+def fastconv_gemm8_roofline(block=1024, seg=8192, batch=2048, terms=2) -> Roofline:
+    """int8 Toeplitz engine: 2*terms (+1 h-only residual dot at terms=3)
+    s8xs8 dots of (T,8192)@(8192,1024) per hop; HBM as the f32 GEMM but
+    int8 segments.  terms=2 -> 2.0 bf16-equivalent passes (gemm8),
+    terms=3 -> 2.5 (gemm8hq)."""
+    ndots = {2: 4, 3: 5}[terms]  # both data planes pair with terms 1-2 only
+    flops = 0.5 * ndots * 2 * seg * block  # bf16-equivalent
+    bytes_ = (seg + block) * 2 + terms * seg * block * 1 / batch
     return Roofline(flops, bytes_, block, unit="mxu")
+
+
+def fastconv_gemm8hq_roofline(block=1024, seg=8192, batch=2048) -> Roofline:
+    return fastconv_gemm8_roofline(block, seg, batch, terms=3)
 
 
 def fastconv_gemm_roofline(block=1024, seg=8192, passes=3, batch=2048) -> Roofline:

@@ -98,6 +98,13 @@ def test_enhance_fused_full_kernel_floor(probe, mode):
     )
     got = np.asarray(out)[np.asarray(mask)].reshape(-1)
     assert snr_db(want, got) >= 78.0
+    # the turbo tier (mxu8t) routes through this kernel too (hq=False)
+    out_t, mask_t = E._enhance_fused_full(
+        jnp.asarray(probe.reshape(-1, 512)), mode, False, interpret=True,
+        F=8, L=4, hq=False,
+    )
+    got_t = np.asarray(out_t)[np.asarray(mask_t)].reshape(-1)
+    assert snr_db(want, got_t) >= 65.0
 
 
 @pytest.mark.parametrize("engine,floor", [("xla", 80.0), ("mxu", 80.0), ("mxu3", 80.0)])
