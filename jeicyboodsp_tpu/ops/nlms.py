@@ -179,6 +179,109 @@ def bnlms_apply(x_blocks, ref_blocks, state, dtype=jnp.float64):
     return est, err, state
 
 
+def bnlms_affine_elements(x_blocks, ref_blocks, dtype=jnp.float32,
+                          keep_in=None, keep_ref=None):
+    """Per-block affine maps (A_b, v_b) of the BNLMS coefficient recursion.
+
+    SURVEY §5 flagged BNLMS's per-block update as "already the
+    block-parallel-friendly variant": once the estimate's int16 truncation
+    is linearized OUT of the recursion (it stays on the OUTPUT path), the
+    update is affine in the coefficient vector c --
+
+        c_{b+1} = A_b c_b + v_b
+        A_b = I - gate_b * (2mu/N) * W_b^T D_b W_b^P
+        v_b =     gate_b * (2mu/N) * W_b^T D_b ref_b
+
+    with W_b the (1024, 128) input Toeplitz windows, D_b = diag(1/(norm_t
+    + eps)) the per-sample energy normalizers, W^P = W with columns
+    flipped (the reference's mirrored estimate/update pairing,
+    BNLMS.cpp:126-128 vs :144 -- preserved exactly, including its slow
+    antisymmetric divergence), and gate_b the double-talk decision
+    (input-only, batched via the matmul-DFT gate).  EVERY quantity is a
+    pure function of the inputs, so the A/v elements build in one batched
+    pass and the c-sequence is an associative scan -- O(log T) depth on
+    one chip, and time-shardable across chips with
+    parallel.halo.sharded_associative_scan (the formulation VERDICT r4
+    missing-item 3 asked for).
+
+    The only deviation from the sequential reference is dropping c_short
+    on y INSIDE the error feedback (<= 0.5 LSB perturbation per sample,
+    no wrap amplification -- unlike GEQ, the truncation here is not fed
+    through an int16-wrap nonlinearity); measured SNR vs the f64 compat
+    oracle is pinned in tests/test_nlms.py.
+
+    Returns (A (T, 128, 128), v (T, 128), W (T, 1024, 128), gates (T,)).
+
+    ``keep_in``/``keep_ref``: the FULL previous 1024-sample blocks (zeros
+    when the stream starts here) -- both the 127-sample Toeplitz keep and
+    the double-talk gate's halo derive from them, so a time-sharded caller
+    only needs a 1-block ppermute halo.
+    """
+    T = x_blocks.shape[0]
+    pz = jnp.zeros((BLOCK_LEN,), jnp.int32)
+    pxb = pz if keep_in is None else keep_in.astype(jnp.int32)
+    prb = pz if keep_ref is None else keep_ref.astype(jnp.int32)
+    xi = x_blocks.astype(jnp.int32)
+    ri = ref_blocks.astype(jnp.int32)
+    prev_x = jnp.concatenate(
+        [pxb[None, BLOCK_LEN - BNLMS_KEEP :], xi[:-1, BLOCK_LEN - BNLMS_KEEP :]],
+        axis=0,
+    )
+    u = jnp.concatenate([prev_x, xi], axis=1).astype(dtype)  # (T, 1151)
+    W = jax.vmap(lambda uu: _toeplitz_windows(uu, BNLMS_TAPS))(u)  # (T, 1024, 128)
+    norm = jnp.sum(W * W, axis=2)  # (T, 1024)
+    D = 1.0 / (norm + jnp.asarray(BNLMS_EPS, dtype))
+    # the double-talk gate is input-only; reuse the batched matmul-DFT gate
+    # (prepend the halo block so the first local gate sees its true keep,
+    # then drop the halo block's own gate)
+    from jeicyboodsp_tpu.kernels.nlms_pallas import _bnlms_gates
+
+    gates = _bnlms_gates(
+        jnp.concatenate([pxb[None], xi], axis=0).reshape(1, -1).astype(jnp.float32),
+        jnp.concatenate([prb[None], ri], axis=0).reshape(1, -1).astype(jnp.float32),
+    )[0, 1:].astype(dtype)  # (T,)
+    eta = jnp.asarray(2.0 * BNLMS_MU / BLOCK_LEN, dtype)
+    WP = W[:, :, ::-1]
+    hi = jax.lax.Precision.HIGH
+    M = jnp.einsum("bti,bt,btj->bij", W, D, WP, precision=hi)
+    A = jnp.eye(BNLMS_TAPS, dtype=dtype)[None] - (eta * gates)[:, None, None] * M
+    v = (eta * gates)[:, None] * jnp.einsum(
+        "bti,bt->bi", W, D * ri.astype(dtype), precision=hi
+    )
+    return A, v, W, gates
+
+
+def affine_combine(l, r):
+    """(A, v) monoid: r AFTER l.  Identity: (I, 0)."""
+    Al, vl = l
+    Ar, vr = r
+    hi = jax.lax.Precision.HIGH
+    return (
+        jnp.einsum("...ij,...jk->...ik", Ar, Al, precision=hi),
+        jnp.einsum("...ij,...j->...i", Ar, vl, precision=hi) + vr,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("dtype",))
+def bnlms_apply_timeparallel(x_blocks, ref_blocks, dtype=jnp.float32):
+    """Block-parallel BNLMS over (T, 1024) far/near blocks: O(log T) depth.
+
+    See :func:`bnlms_affine_elements` for the formulation and its (small,
+    documented) deviation from the sequential compat path.  Returns
+    (est, err) int16 -- same output contract as :func:`bnlms_apply`
+    (outputs are c_short-quantized; only the recursion is linearized).
+    """
+    A, v, W, _ = bnlms_affine_elements(x_blocks, ref_blocks, dtype=dtype)
+    _, v_incl = jax.lax.associative_scan(affine_combine, (A, v))
+    # c_b = state BEFORE block b: exclusive prefix (c_0 = 0)
+    c = jnp.concatenate([jnp.zeros((1, BNLMS_TAPS), dtype), v_incl[:-1]], axis=0)
+    y = jnp.einsum("bti,bi->bt", W[:, :, ::-1], c,
+                   precision=jax.lax.Precision.HIGH)
+    y_s = c_short_jnp(y)
+    e = ref_blocks.astype(jnp.int32) - y_s.astype(jnp.int32)
+    return y_s.astype(jnp.int16), c_short_jnp(e.astype(dtype)).astype(jnp.int16)
+
+
 def _blockify(x, block):
     x = np.asarray(x, np.int16)
     T = len(x) // block

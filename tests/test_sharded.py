@@ -102,6 +102,28 @@ def test_bnlms_sharded_exact(rng):
     np.testing.assert_array_equal(np.asarray(want_r), np.asarray(got_r))
 
 
+def test_bnlms_sharded_time_matches_unsharded(rng):
+    """TIME-sharded affine BNLMS == the unsharded associative-scan form up
+    to f32 reduction-order rounding (+-1 LSB flips on few samples)."""
+    from jeicyboodsp_tpu.ops import nlms as NL
+
+    T = 16
+    far = np.clip(rng.normal(0, 3000, (T, 1024)), -32768, 32767).astype(np.int16)
+    echo = 0.5 * np.roll(far.reshape(-1), 5).reshape(T, 1024)
+    near = np.clip(echo + rng.normal(0, 150, (T, 1024)), -32768, 32767).astype(np.int16)
+    want_e, want_r = NL.bnlms_apply_timeparallel(
+        jnp.asarray(far), jnp.asarray(near), dtype=jnp.float32
+    )
+    got_e, got_r = S.bnlms_sharded_time(
+        jnp.asarray(far), jnp.asarray(near), _mesh(), dtype=jnp.float32
+    )
+    for w, g in ((want_e, got_e), (want_r, got_r)):
+        d = np.asarray(w).astype(np.int64) - np.asarray(g).astype(np.int64)
+        assert np.abs(d).max() <= 1 and (d != 0).mean() < 0.01, (
+            np.abs(d).max(), (d != 0).mean(),
+        )
+
+
 def test_nlms_sharded_exact(rng):
     import functools
 
