@@ -118,7 +118,8 @@ def tree_stamp() -> dict:
 
 KNOWN_ROWS = {
     "enhance", "enhance_wiener", "enhance_specsub", "geq", "fastconv",
-    "bnlms", "bnlms_pallas", "mvdr", "mfcc", "fft", "fft_roundtrip",
+    "bnlms", "bnlms_pallas", "bnlms_timeparallel", "mvdr", "mfcc", "fft",
+    "fft_roundtrip",
     "pitch", "pitch1", "pitch2", "pitch3", "nlms", "nlms_pallas", "nlms_fast",
     "lpc",
     "viterbi", "viterbi_decode", "viterbi_decode_batched",
@@ -435,7 +436,7 @@ def main(groups=None):
         }
 
     # ---------------- BNLMS ----------------
-    if _want("bnlms", "bnlms_pallas"):
+    if _want("bnlms", "bnlms_pallas", "bnlms_timeparallel"):
         from jeicyboodsp_tpu.ops.nlms import bnlms_apply, bnlms_init_state
 
         Tb = 512
@@ -512,6 +513,49 @@ def main(groups=None):
                 "tpu_sps": Bbn * Tbn / per,
                 "cpp_sps": base,
                 "kernel_exact_vs_oracle": bool((gb.astype(np.int64) == pe.astype(np.int64)).all()),
+            }
+
+        # ------------ BNLMS time-parallel (affine associative scan) ---------
+        if _want("bnlms_timeparallel"):
+            from jeicyboodsp_tpu.ops.nlms import bnlms_apply_timeparallel
+
+            Ttp = 1024  # one session, many blocks: the time-sharding shape
+            # (W is (T, 1024, 128) f32 = 0.5 GB at this T; the A-build
+            # einsums keep peak memory ~2x that)
+            xtp = jnp.asarray(np.tile(xb_, -(-Ttp * 1024 // len(xb_)))[: Ttp * 1024]
+                              .reshape(Ttp, 1024))
+            rtp = jnp.asarray(np.tile(rb_, -(-Ttp * 1024 // len(rb_)))[: Ttp * 1024]
+                              .reshape(Ttp, 1024))
+
+            @partial(jax.jit, static_argnames=("k",))
+            def tp_chain(xx, rr, k):
+                def body(i, acc):
+                    e1, _ = bnlms_apply_timeparallel(acc, rr, dtype=jnp.float32)
+                    return acc + (e1 & 1)
+
+                return jax.lax.fori_loop(0, k, body, xx)
+
+            per_tp = amortized(lambda k: jax.device_get(tp_chain(xtp, rtp, k)[0, :4]),
+                               n1=2, n2=12)
+            e_tp, r_tp = bnlms_apply_timeparallel(
+                jnp.asarray(xb_[: 16 * 1024].reshape(-1, 1024)),
+                jnp.asarray(rb_[: 16 * 1024].reshape(-1, 1024)),
+                dtype=jnp.float32,
+            )
+            gtp = np.asarray(e_tp)[1:].reshape(-1)
+            rtp_o = np.asarray(r_tp)[1:].reshape(-1)
+            results["bnlms_timeparallel"] = {
+                "tpu_sps": Ttp * 1024 / per_tp,
+                "cpp_sps": base,
+                # vs the f64 oracle (the sequential compat ground truth):
+                # the linearized recursion tracks it to +-LSB class.  The
+                # SNR basis is the ERROR signal (the AEC output users
+                # consume; the est starts near zero, so its SNR is
+                # denominated by +-1 LSB flips on a tiny signal)
+                "snr_db": float(min(snr_db(perr, rtp_o), 200.0)),
+                "max_abs_diff_vs_oracle": int(
+                    np.abs(gtp.astype(np.int64) - pe.astype(np.int64)).max()
+                ),
             }
 
     # ---------------- MVDR ----------------

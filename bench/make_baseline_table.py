@@ -106,6 +106,11 @@ def render(results: dict) -> str:
     add("BNLMS, bit-exact compat (1024 streams, df32 Pallas)", v, _m(v["tpu_sps"]),
         _pct(v), _x(v),
         "bit-exact" if v.get("kernel_exact_vs_oracle") else "NOT EXACT")
+    if r.get("bnlms_timeparallel"):
+        v = r["bnlms_timeparallel"]
+        add("BNLMS, TIME-parallel (1 session, affine associative scan)", v,
+            _m(v["tpu_sps"]), _pct(v), _x(v),
+            f"{v['snr_db']:.1f} dB (max +-{v['max_abs_diff_vs_oracle']} LSB vs oracle)")
     v = r["mvdr"]
     add("MVDR beamformer (theta=0 structural collapse)", v, _g(v["tpu_sps"]), _pct(v),
         _x(v), _snr(v))

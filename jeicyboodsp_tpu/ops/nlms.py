@@ -223,14 +223,13 @@ def bnlms_affine_elements(x_blocks, ref_blocks, dtype=jnp.float32,
     prb = pz if keep_ref is None else keep_ref.astype(jnp.int32)
     xi = x_blocks.astype(jnp.int32)
     ri = ref_blocks.astype(jnp.int32)
-    prev_x = jnp.concatenate(
-        [pxb[None, BLOCK_LEN - BNLMS_KEEP :], xi[:-1, BLOCK_LEN - BNLMS_KEEP :]],
-        axis=0,
-    )
-    u = jnp.concatenate([prev_x, xi], axis=1).astype(dtype)  # (T, 1151)
-    W = jax.vmap(lambda uu: _toeplitz_windows(uu, BNLMS_TAPS))(u)  # (T, 1024, 128)
-    norm = jnp.sum(W * W, axis=2)  # (T, 1024)
-    D = 1.0 / (norm + jnp.asarray(BNLMS_EPS, dtype))
+    # windows are continuous across blocks (the keep IS the previous tail),
+    # so W builds from slice-stacks over the flat signal.  The A/v build
+    # runs as a lax.map over chunks of blocks: a single whole-T einsum
+    # materialized (T, 1024, 1)-shaped broadcasts that TPU pads 128x in
+    # the lane dim (64 GB of temps at T=1024); chunking bounds the live
+    # set to ~chunk x 64 MB.
+    flat = jnp.concatenate([pxb[BLOCK_LEN - BNLMS_KEEP :], xi.reshape(-1)]).astype(dtype)
     # the double-talk gate is input-only; reuse the batched matmul-DFT gate
     # (prepend the halo block so the first local gate sees its true keep,
     # then drop the halo block's own gate)
@@ -241,13 +240,31 @@ def bnlms_affine_elements(x_blocks, ref_blocks, dtype=jnp.float32,
         jnp.concatenate([prb[None], ri], axis=0).reshape(1, -1).astype(jnp.float32),
     )[0, 1:].astype(dtype)  # (T,)
     eta = jnp.asarray(2.0 * BNLMS_MU / BLOCK_LEN, dtype)
-    WP = W[:, :, ::-1]
     hi = jax.lax.Precision.HIGH
-    M = jnp.einsum("bti,bt,btj->bij", W, D, WP, precision=hi)
-    A = jnp.eye(BNLMS_TAPS, dtype=dtype)[None] - (eta * gates)[:, None, None] * M
-    v = (eta * gates)[:, None] * jnp.einsum(
-        "bti,bt->bi", W, D * ri.astype(dtype), precision=hi
+    CH = next(c for c in (64, 32, 16, 8, 4, 2, 1) if T % c == 0)
+    segs = jnp.stack(  # (T/CH, CH*1024 + 127) overlapping flat segments
+        [flat[c * CH * BLOCK_LEN : (c + 1) * CH * BLOCK_LEN + BNLMS_KEEP]
+         for c in range(T // CH)]
     )
+    rfc = ri.astype(dtype).reshape(T // CH, CH * BLOCK_LEN)
+    gc = gates.reshape(T // CH, CH)
+
+    def build(args):
+        seg, rc, g = args
+        Wc = _toeplitz_windows(seg, BNLMS_TAPS).reshape(CH, BLOCK_LEN, BNLMS_TAPS)
+        Dc = 1.0 / (jnp.sum(Wc * Wc, axis=2) + jnp.asarray(BNLMS_EPS, dtype))
+        WD = Wc * Dc[:, :, None]
+        Mc = jnp.einsum("bti,btj->bij", WD, Wc[:, :, ::-1], precision=hi)
+        Ac = jnp.eye(BNLMS_TAPS, dtype=dtype)[None] - (eta * g)[:, None, None] * Mc
+        vc = (eta * g)[:, None] * jnp.einsum(
+            "bti,bt->bi", WD, rc.reshape(CH, BLOCK_LEN), precision=hi
+        )
+        return Ac, vc
+
+    A, v = jax.lax.map(build, (segs, rfc, gc))
+    A = A.reshape(T, BNLMS_TAPS, BNLMS_TAPS)
+    v = v.reshape(T, BNLMS_TAPS)
+    W = _toeplitz_windows(flat, BNLMS_TAPS).reshape(T, BLOCK_LEN, BNLMS_TAPS)
     return A, v, W, gates
 
 

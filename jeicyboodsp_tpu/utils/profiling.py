@@ -98,11 +98,13 @@ def enhance_mxu8_roofline(block=512, fft=1024) -> Roofline:
 
 
 def enhance_mxu8t_roofline(block=512, fft=1024) -> Roofline:
-    """Turbo tier (mxu8t): the r4 4-dot arithmetic -- fwd 2x2x3 = 12 int8
-    dots, inverse 2x3 = 6, J 2 bf16 passes; same plane traffic as mxu8."""
-    macs_equiv = 0.5 * (12 + 6) * 512 * 512 + 2 * 512 * 512
+    """Turbo tier (mxu8t): the r4 4-dot/1-level arithmetic on the FUSED-FULL
+    kernel (since r5b it routes through enhance_full8_pallas) -- fwd 2x2x3
+    = 12 int8 dots, inverse 2x3 = 6, J 2 bf16 passes, in-kernel latch 2
+    bf16 passes; HBM is input + VAD read + rowpack + int16 out only."""
+    macs_equiv = 0.5 * (12 + 6) * 512 * 512 + 2 * 512 * 512 + 2 * 512 * 512
     flops = 2 * macs_equiv
-    bytes_ = block * 2 + 3 * fft // 2 * 4 * 2 + 5 * fft // 2 * 4 * 2 + 3 * 512 * 4 + block * 2
+    bytes_ = block * 2 * 2 + 8 * 4 + block * 2
     return Roofline(flops, bytes_, block, unit="mxu")
 
 
