@@ -96,13 +96,16 @@ def main():
         "BENCH_FFT_ENGINE", "mxu8t,mxu8f,mxu8,mxu3"
     ).split(",")
 
-    # --- SNR probe (compat contract, on the exact configs being benched) ---
+    # --- SNR probe (compat contract, on the exact configs being benched).
+    # Probed lazily INSIDE the deadline loop below, so a compile-stall day
+    # cannot burn the whole budget on probes before any timing happens. ---
     probe = make_signal(PROBE_T * 512, rng)
     from jeicyboodsp_tpu.oracle import enhance as oenh
 
     want = oenh.run(probe, "wiener").astype(np.float64)
     snr = {}
-    for eng in ENGINES:
+
+    def probe_snr(eng):
         got_blocks, mask = enhance_blocks(
             jnp.asarray(probe.reshape(PROBE_T, 512)), **fast_cfg(eng)
         )
@@ -147,6 +150,7 @@ def main():
     deadline = float(os.environ.get("BENCH_DEADLINE_S", "1200"))
     engines_run = []
     for eng in ENGINES:
+        probe_snr(eng)
         timed(eng, 1), timed(eng, 51)  # compile + warm both windows
         engines_run.append(eng)
         if time.perf_counter() - t_start > deadline and len(engines_run) >= 1:
