@@ -533,6 +533,40 @@ def enhance_back_ola8_pallas(re, im, re_n, ns512, ns_n, M8B, u_nyq, y512col,
     )(*consts, re, im, re_n, ns512, ns_n)
 
 
+def _vad_kernel(w2row, cur_ref, sp_ref):
+    sp_ref[...] = _vad_rows(cur_ref[...].astype(jnp.float32), w2row[...])
+
+
+def vad_flags_pallas(cur, w2, F: int = 512, interpret: bool = False):
+    """(T, 512) int16 blocks -> (T, 1) f32 speech flags (vad_flags
+    semantics) in ONE read of the input.
+
+    MEASURED NEGATIVE in context (r5c): standalone this kernel is ~10x
+    cheaper than the XLA vad_flags pass (which materializes (T, 512) f32
+    windowed temps, ~0.22 ms at T=16384), but routing the fused-full
+    chain through it measured 7% SLOWER interleaved (6.03 vs 6.50 G):
+    XLA overlaps its own VAD pass with the main kernel inside the chained
+    graph, while an extra pallas_call serializes.  Kept (with its
+    exactness test) as the measured record; the chain uses the XLA
+    form."""
+    T = cur.shape[0]
+    assert T % F == 0, (T, F)
+    w2r = jnp.asarray(w2, jnp.float32).reshape(1, 512)
+    return pl.pallas_call(
+        _vad_kernel,
+        out_shape=jax.ShapeDtypeStruct((T, 1), jnp.float32),
+        grid_spec=pl.GridSpec(
+            grid=(T // F,),
+            in_specs=[
+                pl.BlockSpec((1, 512), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((F, 512), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((F, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(w2r, cur)
+
+
 def _hi_lo(x):
     """Exact bf16 hi + f32 residual split (Sterbenz: the residual is exact)."""
     xh = x.astype(jnp.bfloat16).astype(jnp.float32)

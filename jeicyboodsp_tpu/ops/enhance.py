@@ -284,7 +284,13 @@ def _enhance_fused_full(blocks, mode, emit_all, interpret=False, F: int = 256,
         if pad else blocks
     )
     # pad rows are zero blocks -> VAD says speech (zcr 0 < 200), no latch
-    # updates -- identical latch state to the unpadded run
+    # updates -- identical latch state to the unpadded run.  (r5c measured
+    # NEGATIVE: routing the flags through a dedicated one-read Pallas VAD
+    # kernel -- which standalone costs ~10x less than this XLA pass --
+    # made the CHAIN 7% slower, 6.03 vs 6.50 G interleaved: inside the
+    # chained graph XLA overlaps the VAD pass with the main kernel, while
+    # the extra pallas_call serializes.  Kernel kept as
+    # kernels.enhance_pallas.vad_flags_pallas with the measured note.)
     speech = vad_flags(bp, jnp.float32)
     rowpack = _latch_rowpack(speech, L=L)
     out_i = EP.enhance_full8_pallas(

@@ -195,6 +195,25 @@ def test_mfcc_fused_kernel_matches_oracle(rng):
     assert s >= 60.0, s
 
 
+def test_vad_flags_pallas_matches_xla(rng):
+    """The one-read Pallas VAD == ops.enhance.vad_flags exactly (sign
+    decisions are integer products; the energy threshold compare is in the
+    same f32 rounding class on both paths)."""
+    import jax.numpy as jnp
+    from jeicyboodsp_tpu.kernels import enhance_pallas as EP
+    from jeicyboodsp_tpu.ops import enhance as E
+
+    n = 512 * 24
+    t = np.arange(n) / 16000
+    sp = 5000 * np.sin(2 * np.pi * 313 * t) * (t > 0.4)
+    x = np.clip(sp + rng.normal(0, 20, n), -32768, 32767).astype(np.int16)
+    blocks = jnp.asarray(x.reshape(-1, 512))
+    want = np.asarray(E.vad_flags(blocks, jnp.float32))
+    M = E._dft_mats_aligned()
+    got = np.asarray(EP.vad_flags_pallas(blocks, M["w2"], F=8, interpret=True))[:, 0] > 0.5
+    np.testing.assert_array_equal(want, got)
+
+
 def test_enhance_fused_kernels_match_xla_path(rng, snr):
     """The Pallas-fused enhance fast path (interpret mode) matches the
     plain-XLA fast path (f32, HIGH) and holds the oracle SNR contract."""
