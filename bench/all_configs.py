@@ -142,6 +142,7 @@ def annotate_rooflines(results: dict) -> dict:
         # inter-kernel plane traffic)
         ("enhance_wiener", "tpu_sps"): prof.enhance_mxu8_roofline,
         ("enhance_specsub", "tpu_sps"): prof.enhance_mxu8_roofline,
+        ("enhance_specsub", "tpu_sps_mxu8t"): prof.enhance_mxu8t_roofline,
         ("enhance_wiener", "tpu_sps_mxu3"): prof.enhance_mxu3_roofline,
         ("enhance_wiener", "tpu_sps_mxu8f"): prof.enhance_mxu8f_roofline,
         ("enhance_wiener", "tpu_sps_mxu8t"): prof.enhance_mxu8t_roofline,
@@ -234,7 +235,8 @@ def main(groups=None):
             # fidelity, suffixless = the quality default), mxu8f (fused
             # single kernel), mxu8t (turbo), mxu3 (bf16x3)
             engines = (
-                ("mxu8", "mxu8f", "mxu8t", "mxu3") if mode == "wiener" else ("mxu8",)
+                ("mxu8", "mxu8f", "mxu8t", "mxu3") if mode == "wiener"
+                else ("mxu8", "mxu8t")
             )
             for eng in engines:
                 FAST = dict(

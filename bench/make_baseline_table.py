@@ -73,6 +73,10 @@ def render(results: dict) -> str:
             _snr(v, "snr_db_mxu3"))
     v = r["enhance_specsub"]
     add("Spectral subtraction (mxu8)", v, _g(v["tpu_sps"]), _pct(v), _x(v), _snr(v))
+    if v.get("tpu_sps_mxu8t"):
+        add("Spectral subtraction (mxu8t turbo)", v, _g(v["tpu_sps_mxu8t"]),
+            _pct(v, "_mxu8t"), f"{v['tpu_sps_mxu8t'] / v['cpp_sps']:.0f}x",
+            _snr(v, "snr_db_mxu8t"))
     v = r["geq"]
     add("7-band GEQ, fast linear", v, _g(v["tpu_sps"]), _pct(v), _x(v),
         f"{v['snr_db_fast_vs_ref']:.1f} dB BY DESIGN (no int16 requant)")
